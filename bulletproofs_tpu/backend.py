@@ -1,0 +1,75 @@
+"""Compute backend dispatch.
+
+Protocol code (ipp.py, r1cs/) is written against this small interface so the
+same code runs on the exact host backend (Python ints — ground truth) or the
+TPU backend (batched limb kernels under jit, ops/{field_jax,ec_jax,msm}.py).
+
+The default is "auto": device for O(n) vector work above a size threshold,
+host for tiny sizes where dispatch overhead dominates.
+"""
+
+import os
+
+from .ops import ec_host
+from .ops.field_host import Scalar
+
+
+class HostBackend:
+    """Exact Python-int backend; also the ground truth for device tests."""
+
+    name = "host"
+
+    def msm(self, points, scalars):
+        """Sum_i scalars[i] * points[i] -> G1."""
+        return ec_host.msm_host(points, scalars)
+
+    def fold_points(self, P_L, P_R, s1, s2):
+        """[s1[i]*P_L[i] + s2[i]*P_R[i]] — the IPA basis fold
+        (`ipp.rs:115-130`). s1/s2 may be lists or broadcast Scalars."""
+        n = len(P_L)
+        s1 = s1 if isinstance(s1, (list, tuple)) else [s1] * n
+        s2 = s2 if isinstance(s2, (list, tuple)) else [s2] * n
+        return [p.binary_scalar_mul(q, a, b)
+                for p, q, a, b in zip(P_L, P_R, s1, s2)]
+
+    def scalar_mul_batch(self, points, scalars):
+        """[scalars[i] * points[i]] elementwise."""
+        return [p * s for p, s in zip(points, scalars)]
+
+
+_backends = {"host": HostBackend()}
+_mode = os.environ.get("BP_BACKEND", "auto")
+# Below this vector length the host backend wins (device dispatch overhead).
+DEVICE_THRESHOLD = int(os.environ.get("BP_DEVICE_THRESHOLD", "64"))
+
+
+def register_backend(name, backend):
+    _backends[name] = backend
+
+
+def set_backend(mode: str):
+    """'host', 'jax', or 'auto'."""
+    global _mode
+    _mode = mode
+
+
+def get_backend(size_hint: int = 1 << 30):
+    """Pick the backend for an op over vectors of length `size_hint`."""
+    if _mode == "host":
+        return _backends["host"]
+    if _mode == "jax":
+        return _lazy_jax() or _backends["host"]
+    # auto
+    if size_hint >= DEVICE_THRESHOLD:
+        return _lazy_jax() or _backends["host"]
+    return _backends["host"]
+
+
+def _lazy_jax():
+    if "jax" not in _backends:
+        try:
+            from .ops.jax_backend import JaxBackend
+            _backends["jax"] = JaxBackend()
+        except Exception:
+            _backends["jax"] = None
+    return _backends["jax"]

@@ -1,0 +1,144 @@
+"""Curve configuration registry.
+
+The reference selects its curve with cargo compile-time features
+(`/root/reference/Cargo.toml:22-27`).  Here the curve is a runtime choice: a
+`CurveParams` record carries every constant the protocol needs, and a module
+level "active curve" (default BLS12-381) plays the role of the cargo default
+feature.  All field/EC code receives the params explicitly or reads the active
+curve, so both curves can be exercised in a single process.
+
+Limb layout for the TPU backend: little-endian 16-bit limbs stored in uint32
+lanes.  16-bit limbs keep every partial product of a schoolbook/Montgomery
+multiply below 2**32 with headroom for lazy carry accumulation, which is the
+widest exact integer multiply available on the TPU VPU.
+"""
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def _n_limbs(modulus: int) -> int:
+    return (modulus.bit_length() + LIMB_BITS - 1) // LIMB_BITS
+
+
+@dataclass(frozen=True)
+class FieldParams:
+    """Constants for one prime field, precomputed for Montgomery arithmetic."""
+
+    modulus: int
+    n_limbs: int
+    mont_r: int          # R = 2**(LIMB_BITS * n_limbs)
+    mont_r2: int         # R^2 mod modulus (to enter Montgomery form)
+    mont_one: int        # R mod modulus (Montgomery form of 1)
+    n0inv: int           # -modulus^-1 mod 2**LIMB_BITS (CIOS constant)
+    n_bits: int
+
+    @staticmethod
+    def create(modulus: int) -> "FieldParams":
+        n = _n_limbs(modulus)
+        r = 1 << (LIMB_BITS * n)
+        return FieldParams(
+            modulus=modulus,
+            n_limbs=n,
+            mont_r=r,
+            mont_r2=(r * r) % modulus,
+            mont_one=r % modulus,
+            n0inv=(-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS),
+            n_bits=modulus.bit_length(),
+        )
+
+
+@dataclass(frozen=True)
+class CurveParams:
+    """Everything the protocol needs for one pairing-friendly curve's G1.
+
+    Mirrors the constants the reference pulls from `amcl_wrapper::constants`
+    (`MODBYTES`, `CurveOrder`) plus the curve equation/generator that live
+    inside AMCL itself.
+    """
+
+    name: str
+    # Base field F_p and scalar field F_r
+    p: int
+    r: int
+    # Short Weierstrass y^2 = x^3 + b (a = 0 for both supported curves)
+    b: int
+    cofactor: int
+    gx: int
+    gy: int
+    # Serialized byte width of a field element (amcl MODBYTES)
+    modbytes: int
+    fp: FieldParams = field(default=None)
+    fr: FieldParams = field(default=None)
+
+    def __post_init__(self):
+        object.__setattr__(self, "fp", FieldParams.create(self.p))
+        object.__setattr__(self, "fr", FieldParams.create(self.r))
+
+    @property
+    def point_bytes(self) -> int:
+        # Uncompressed: 0x04 || x || y, amcl ECP::tobytes layout
+        return 2 * self.modbytes + 1
+
+
+BLS381 = CurveParams(
+    name="bls381",
+    p=0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
+    r=0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+    b=4,
+    cofactor=0x396C8C005555E1568C00AAAB0000AAAB,
+    gx=0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+    gy=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+    modbytes=48,
+)
+
+# AMCL's "BN254" (Nogami); generator is (p-1, 1) on y^2 = x^3 + 2.
+BN254 = CurveParams(
+    name="bn254",
+    p=0x2523648240000001BA344D80000000086121000000000013A700000000000013,
+    r=0x2523648240000001BA344D8000000007FF9F800000000010A10000000000000D,
+    b=2,
+    cofactor=1,
+    gx=0x2523648240000001BA344D80000000086121000000000013A700000000000012,
+    gy=1,
+    modbytes=32,
+)
+
+CURVES = {"bls381": BLS381, "bn254": BN254}
+
+_active = BLS381
+
+
+def set_curve(name_or_params) -> CurveParams:
+    """Select the active curve (runtime analog of the reference's cargo
+    features, `/root/reference/Cargo.toml:22-27`)."""
+    global _active
+    if isinstance(name_or_params, CurveParams):
+        _active = name_or_params
+    else:
+        _active = CURVES[name_or_params]
+    return _active
+
+
+def curve() -> CurveParams:
+    return _active
+
+
+class using_curve:
+    """Context manager: temporarily switch the active curve."""
+
+    def __init__(self, name_or_params):
+        self.target = name_or_params
+        self.saved = None
+
+    def __enter__(self):
+        global _active
+        self.saved = _active
+        return set_curve(self.target)
+
+    def __exit__(self, *exc):
+        set_curve(self.saved)
+        return False

@@ -1,0 +1,152 @@
+"""Inner-product argument (IPA): the log2(n)-round recursive proof that
+<a, b> = c relative to committed bases.
+
+Protocol-faithful rewrite of `/root/reference/src/ipp.rs` with identical
+transcript schedule: the first fold applies per-element G/H factors
+(`ipp.rs:68-136`), subsequent folds are plain (`ipp.rs:138-194`); per round the
+prover commits L/R (each an (n+1)-size MSM), draws challenge u, folds scalars
+and bases.  The vector math dispatches to the active backend (host ints or
+batched TPU limb kernels); the transcript forces one device->host sync of
+(L, R) per round, which is inherent to Fiat-Shamir.
+"""
+
+from dataclasses import dataclass
+from typing import List
+
+from .backend import get_backend
+from .ops.field_host import (Scalar, batch_invert, hadamard_product,
+                             inner_product)
+from .ops.ec_host import G1
+from .utils.errors import VerificationError
+
+
+@dataclass
+class InnerProductArgumentProof:
+    """`ipp.rs:15-20`"""
+    L: List[G1]
+    R: List[G1]
+    a: Scalar
+    b: Scalar
+
+
+def create_ipp(transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec,
+               b_vec) -> InnerProductArgumentProof:
+    """Prover side (`ipp.rs:35-202`).
+
+    Proof is w.r.t. bases G'_i = G_factors_i * G_i, H'_i = H_factors_i * H_i.
+    All vectors must share a power-of-two length.
+    """
+    n = len(G_vec)
+    assert n and (n & (n - 1)) == 0, "length must be a power of two"
+    assert len(H_vec) == len(a_vec) == len(b_vec) == n
+    assert len(G_factors) == len(H_factors) == n
+
+    G, H = list(G_vec), list(H_vec)
+    a, b = list(a_vec), list(b_vec)
+
+    transcript.innerproduct_domain_sep(n)
+
+    L_vec, R_vec = [], []
+    first_round = True
+
+    while n != 1:
+        be = get_backend(n)
+        n //= 2
+        a_L, a_R = a[:n], a[n:]
+        b_L, b_R = b[:n], b[n:]
+        G_L, G_R = G[:n], G[n:]
+        H_L, H_R = H[:n], H[n:]
+
+        c_L = inner_product(a_L, b_R)
+        c_R = inner_product(a_R, b_L)
+
+        if first_round:
+            Gf_L, Gf_R = G_factors[:n], G_factors[n:]
+            Hf_L, Hf_R = H_factors[:n], H_factors[n:]
+            L_scalars = (hadamard_product(a_L, Gf_R)
+                         + hadamard_product(b_R, Hf_L) + [c_L])
+            R_scalars = (hadamard_product(a_R, Gf_L)
+                         + hadamard_product(b_L, Hf_R) + [c_R])
+        else:
+            L_scalars = a_L + b_R + [c_L]
+            R_scalars = a_R + b_L + [c_R]
+
+        L = be.msm(G_R + H_L + [Q], L_scalars)
+        R = be.msm(G_L + H_R + [Q], R_scalars)
+
+        transcript.commit_point(b"L", L)
+        transcript.commit_point(b"R", R)
+        L_vec.append(L)
+        R_vec.append(R)
+
+        u = transcript.challenge_scalar(b"u")
+        u_inv = u.inverse()
+
+        a = [al * u + u_inv * ar for al, ar in zip(a_L, a_R)]
+        b = [bl * u_inv + u * br for bl, br in zip(b_L, b_R)]
+        if first_round:
+            G = be.fold_points(G_L, G_R, [u_inv * f for f in Gf_L],
+                               [u * f for f in Gf_R])
+            H = be.fold_points(H_L, H_R, [u * f for f in Hf_L],
+                               [u_inv * f for f in Hf_R])
+            first_round = False
+        else:
+            G = be.fold_points(G_L, G_R, u_inv, u)
+            H = be.fold_points(H_L, H_R, u, u_inv)
+
+    return InnerProductArgumentProof(L=L_vec, R=R_vec, a=a[0], b=b[0])
+
+
+def verification_scalars(L_vec, R_vec, n, transcript):
+    """Recompute challenges and the s-vector (`ipp.rs:262-315`).
+
+    Returns (u_sq, u_inv_sq, s).
+    """
+    lg_n = len(L_vec)
+    if lg_n >= 32 or n != (1 << lg_n):
+        raise VerificationError("inconsistent IPA proof size")
+
+    transcript.innerproduct_domain_sep(n)
+
+    challenges = []
+    for L, R in zip(L_vec, R_vec):
+        transcript.commit_point(b"L", L)
+        transcript.commit_point(b"R", R)
+        challenges.append(transcript.challenge_scalar(b"u"))
+
+    challenges_inv, product_chal_inv = batch_invert(challenges)
+    challenges_sq = [c.square() for c in challenges]
+    challenges_inv_sq = [c.square() for c in challenges_inv]
+
+    # s built inductively: s[0] = prod(u_i^-1); s[i] = s[i - 2^lg(i)] * u_{lg(i)+1}^2
+    s = [product_chal_inv]
+    for i in range(1, n):
+        lg_i = i.bit_length() - 1
+        k = 1 << lg_i
+        u_lg_i_sq = challenges_sq[(lg_n - 1) - lg_i]
+        s.append(s[i - k] * u_lg_i_sq)
+
+    return challenges_sq, challenges_inv_sq, s
+
+
+def verify_ipp(n, transcript, G_factors, H_factors, P, Q, G, H, a, b, L_vec,
+               R_vec):
+    """Verifier side: one mega-MSM of size 2n + 2 lg n + 1 checked against P
+    (`ipp.rs:204-260`)."""
+    u_sq, u_inv_sq, s = verification_scalars(L_vec, R_vec, n, transcript)
+
+    g_times_a_times_s = [(a * s_i) * g_i
+                         for g_i, s_i in zip(G_factors, s)][:len(G)]
+    inv_s = list(reversed(s))
+    h_times_b_div_s = [(b * s_i_inv) * h_i
+                       for h_i, s_i_inv in zip(H_factors, inv_s)]
+    neg_u_sq = [-u for u in u_sq]
+    neg_u_inv_sq = [-u for u in u_inv_sq]
+
+    scalars = ([a * b] + g_times_a_times_s + h_times_b_div_s + neg_u_sq
+               + neg_u_inv_sq)
+    points = [Q] + list(G) + list(H) + list(L_vec) + list(R_vec)
+
+    expected_P = get_backend(len(points)).msm(points, scalars)
+    if expected_P != P:
+        raise VerificationError("IPA check failed")

@@ -1,0 +1,209 @@
+"""Host-side G1 group: equivalent of `amcl_wrapper::group_elem_g1::G1` (API
+surface per SURVEY.md section 2.1), over Python integers.
+
+Uses the same branch-free *complete* projective addition law (Renes-Costello-
+Batina 2016, a=0 specialization) as the device backend (`ops/ec_jax.py`), so
+host and device are formula-identical and cross-check each other exactly.
+Identity is (0 : 1 : 0).
+
+Reference behaviors replicated:
+ - `to_bytes`: uncompressed amcl ECP layout `0x04 || x_be || y_be`
+   (consumed by the transcript at `transcript.rs:52`).  amcl encodes the point
+   at infinity as x=0, y=1 (ECP::inf leaves x=0,y=1 and affine() early-returns
+   on z==0), which this encoder mirrors.
+ - `from_msg_hash` hash-to-curve mirrors amcl `ECP::mapit`: reduce a MODBYTES
+   digest mod p, then try-and-increment on x until x^3+b is square; y is the
+   principal square root rhs^((p+1)/4) (both supported curves have
+   p = 3 mod 4, as amcl's FP::sqrt computes); finally clear the cofactor.
+   The digest function is SHAKE256(msg, MODBYTES).
+ - `binary_scalar_mul(other, s1, s2) = s1*self + s2*other` (the IPA fold
+   primitive, `ipp.rs:119-129`).
+"""
+
+import hashlib
+import secrets
+
+from ..config import curve
+from .field_host import Scalar
+
+
+class G1:
+    """Point on G1, projective (X:Y:Z) with Z=0 iff identity."""
+
+    __slots__ = ("X", "Y", "Z", "cv")
+
+    def __init__(self, X, Y, Z=1, cv=None):
+        self.cv = cv or curve()
+        self.X, self.Y, self.Z = X % self.cv.p, Y % self.cv.p, Z % self.cv.p
+
+    # ---- constructors ----
+    @classmethod
+    def identity(cls, cv=None):
+        return cls(0, 1, 0, cv)
+
+    @classmethod
+    def generator(cls, cv=None):
+        c = cv or curve()
+        return cls(c.gx, c.gy, 1, c)
+
+    @classmethod
+    def random(cls, rng=None, cv=None):
+        c = cv or curve()
+        k = rng.randrange(c.r) if rng is not None else secrets.randbelow(c.r)
+        return cls.generator(c) * Scalar(k, c)
+
+    @classmethod
+    def from_msg_hash(cls, msg, cv=None):
+        c = cv or curve()
+        h = hashlib.shake_256(msg).digest(c.modbytes)
+        x = int.from_bytes(h, "big") % c.p
+        while True:
+            rhs = (x * x % c.p * x + c.b) % c.p
+            y = pow(rhs, (c.p + 1) // 4, c.p)
+            if y * y % c.p == rhs:
+                break
+            x += 1
+        pt = cls(x, y, 1, c)
+        if c.cofactor != 1:
+            pt = pt._mul_int(c.cofactor)
+        return pt
+
+    # ---- predicates ----
+    def is_identity(self):
+        return self.Z == 0
+
+    def is_on_curve(self):
+        p, b = self.cv.p, self.cv.b
+        # Y^2 Z = X^3 + b Z^3 (projective curve equation)
+        return (self.Y * self.Y % p * self.Z - (self.X * self.X % p * self.X
+                + b * self.Z * self.Z % p * self.Z)) % p == 0
+
+    # ---- affine / serialization ----
+    def affine(self):
+        """Return (x, y) ints; amcl convention (0, 1) for the identity."""
+        if self.Z == 0:
+            return (0, 1)
+        p = self.cv.p
+        zinv = pow(self.Z, -1, p)
+        return (self.X * zinv % p, self.Y * zinv % p)
+
+    def to_bytes(self):
+        x, y = self.affine()
+        mb = self.cv.modbytes
+        return b"\x04" + x.to_bytes(mb, "big") + y.to_bytes(mb, "big")
+
+    @classmethod
+    def from_bytes(cls, data, cv=None):
+        c = cv or curve()
+        mb = c.modbytes
+        assert len(data) == 2 * mb + 1 and data[0] == 4, "bad G1 encoding"
+        x = int.from_bytes(data[1:1 + mb], "big")
+        y = int.from_bytes(data[1 + mb:], "big")
+        if x == 0 and y == 1:
+            return cls.identity(c)
+        pt = cls(x, y, 1, c)
+        assert pt.is_on_curve(), "point not on curve"
+        return pt
+
+    # ---- group law: complete projective add (RCB16, a=0) ----
+    def __add__(self, o):
+        p = self.cv.p
+        b3 = 3 * self.cv.b % p
+        X1, Y1, Z1 = self.X, self.Y, self.Z
+        X2, Y2, Z2 = o.X, o.Y, o.Z
+        t0 = X1 * X2 % p
+        t1 = Y1 * Y2 % p
+        t2 = Z1 * Z2 % p
+        xy = ((X1 + Y1) * (X2 + Y2) - t0 - t1) % p      # X1Y2 + X2Y1
+        yz = ((Y1 + Z1) * (Y2 + Z2) - t1 - t2) % p      # Y1Z2 + Y2Z1
+        xz = ((X1 + Z1) * (X2 + Z2) - t0 - t2) % p      # X1Z2 + X2Z1
+        m = (t1 - b3 * t2) % p                          # Y1Y2 - 3b Z1Z2
+        n = (t1 + b3 * t2) % p                          # Y1Y2 + 3b Z1Z2
+        X3 = (xy * m - b3 * yz % p * xz) % p
+        Y3 = (n * m + 3 * b3 * t0 % p * xz) % p
+        Z3 = (yz * n + 3 * t0 * xy) % p
+        return G1(X3, Y3, Z3, self.cv)
+
+    def double(self):
+        return self + self
+
+    def __neg__(self):
+        return G1(self.X, (-self.Y) % self.cv.p, self.Z, self.cv)
+
+    def negation(self):
+        return -self
+
+    def __sub__(self, o):
+        return self + (-o)
+
+    def _mul_int(self, k):
+        acc = G1.identity(self.cv)
+        add = self
+        while k:
+            if k & 1:
+                acc = acc + add
+            add = add + add
+            k >>= 1
+        return acc
+
+    def __mul__(self, s):
+        if isinstance(s, Scalar):
+            s = s.v
+        return self._mul_int(s % self.cv.r)
+
+    __rmul__ = __mul__
+
+    def binary_scalar_mul(self, other, s1, s2):
+        """s1*self + s2*other — the per-element IPA fold (`ipp.rs:119-129`)."""
+        return self * s1 + other * s2
+
+    def __eq__(self, o):
+        if not isinstance(o, G1):
+            return NotImplemented
+        p = self.cv.p
+        # cross-multiplied projective equality
+        if (self.Z == 0) != (o.Z == 0):
+            return False
+        if self.Z == 0:
+            return True
+        return (self.X * o.Z - o.X * self.Z) % p == 0 and \
+               (self.Y * o.Z - o.Y * self.Z) % p == 0
+
+    def __hash__(self):
+        return hash(self.affine())
+
+    def __repr__(self):
+        x, y = self.affine()
+        return f"G1(0x{x:x}, 0x{y:x})"
+
+
+def msm_host(points, scalars):
+    """Multi-scalar multiplication on host ints (ground truth / small sizes).
+
+    Equivalent of `G1Vector::multi_scalar_mul_var_time` /
+    `inner_product_var_time_with_ref_vecs` (`ipp.rs:91,104`, `verifier.rs:451`).
+    Simple per-bit shared-doubling; device Pippenger lives in `ops/msm.py`.
+    """
+    assert len(points) == len(scalars)
+    cv = points[0].cv if points else curve()
+    acc = G1.identity(cv)
+    ks = [(s.v if isinstance(s, Scalar) else s % cv.r) for s in scalars]
+    if not points:
+        return acc
+    maxbits = max((k.bit_length() for k in ks), default=0)
+    for i in range(maxbits - 1, -1, -1):
+        acc = acc + acc
+        for pt, k in zip(points, ks):
+            if (k >> i) & 1:
+                acc = acc + pt
+    return acc
+
+
+def commit_to_field_element(g, h, v, r):
+    """Pedersen commit g^v h^r (amcl_wrapper::commitment, `prover.rs:123`)."""
+    return g * v + h * r
+
+
+def commit_to_field_element_vectors(G, H, h, a, b, r):
+    """<a,G> + <b,H> + r*h (`prover.rs:347-362`)."""
+    return msm_host(list(G) + list(H) + [h], list(a) + list(b) + [r])

@@ -1,0 +1,356 @@
+"""R1CS Prover (`/root/reference/src/r1cs/prover.rs`).
+
+Protocol-faithful: identical transcript schedule, commitment structure,
+blinding schedule and padding semantics as `prover.rs:322-593`.  Circuit
+construction (constraints, witness growth) is host-side and dynamic; all O(n)
+vector/EC math — the three phase-1 MSMs (`prover.rs:336-366`), phase-2 MSMs,
+the t-poly inner products and the IPA — dispatches through the backend to
+batched TPU kernels when n is large.
+
+Determinism: every random blinding draws from an injectable `rng` (defaults to
+a CSPRNG), the analog of the reference gadget drivers' explicit `randomness`
+arguments (`gadgets/README.md:3`) extended to the prover core so whole proofs
+are reproducible for testing.
+"""
+
+from .. import ipp as ipp_mod
+from ..backend import get_backend
+from ..ops.field_host import (Scalar, inner_product, random_scalars,
+                              vandermonde_vector)
+from ..ops.ec_host import commit_to_field_element
+from ..utils.errors import InvalidGeneratorsLength, MissingAssignment
+from ..utils.vector_poly import Poly6, VecPoly3
+from .constraint_system import ConstraintSystem, RandomizedConstraintSystem
+from .linear_combination import (COMMITTED, MULT_LEFT, MULT_OUTPUT, MULT_RIGHT,
+                                 ONE, LinearCombination, Variable)
+from .proof import R1CSProof
+
+
+def _next_power_of_two(n):
+    return 1 if n == 0 else 1 << (n - 1).bit_length()
+
+
+class Prover(ConstraintSystem):
+    def __init__(self, g, h, transcript, rng=None):
+        transcript.r1cs_domain_sep()
+        self.g = g
+        self.h = h
+        self.transcript = transcript
+        self.rng = rng
+        self.constraints = []
+        self.a_L = []
+        self.a_R = []
+        self.a_O = []
+        self.v = []
+        self.v_blinding = []
+        self.deferred_constraints = []
+        self.pending_multiplier = None
+
+    # ---- commitments ----
+    def commit(self, v, v_blinding):
+        """Pedersen-commit a high-level variable (`prover.rs:119-129`)."""
+        if isinstance(v, int):
+            v = Scalar(v)
+        i = len(self.v)
+        V = commit_to_field_element(self.g, self.h, v, v_blinding)
+        self.v.append(v)
+        self.v_blinding.append(v_blinding)
+        self.transcript.commit_point(b"V", V)
+        return V, Variable.committed(i)
+
+    # ---- constraint system ----
+    def eval(self, lc: LinearCombination) -> Scalar:
+        r = self.g.cv.r
+        total = 0
+        for var, coeff in lc.terms:
+            k = var.kind
+            if k == MULT_LEFT:
+                val = self.a_L[var.index].v
+            elif k == MULT_RIGHT:
+                val = self.a_R[var.index].v
+            elif k == MULT_OUTPUT:
+                val = self.a_O[var.index].v
+            elif k == COMMITTED:
+                val = self.v[var.index].v
+            else:  # ONE
+                val = 1
+            total += coeff.v * val
+        return Scalar(total % r)
+
+    def _allocate_vars(self, l, r, o):
+        lv = Variable.multiplier_left(len(self.a_L))
+        rv = Variable.multiplier_right(len(self.a_R))
+        ov = Variable.multiplier_output(len(self.a_O))
+        self.a_L.append(l)
+        self.a_R.append(r)
+        self.a_O.append(o)
+        return lv, rv, ov
+
+    def multiply(self, left, right):
+        left = LinearCombination.coerce(left)
+        right = LinearCombination.coerce(right)
+        l = self.eval(left)
+        r = self.eval(right)
+        o = l * r
+        l_var, r_var, o_var = self._allocate_vars(l, r, o)
+        self.constrain(left - l_var)
+        self.constrain(right - r_var)
+        return l_var, r_var, o_var
+
+    def allocate(self, assignment=None):
+        if assignment is None:
+            raise MissingAssignment()
+        scalar = assignment if isinstance(assignment, Scalar) \
+            else Scalar(assignment)
+        if self.pending_multiplier is None:
+            i = len(self.a_L)
+            self.pending_multiplier = i
+            self.a_L.append(scalar)
+            self.a_R.append(Scalar.zero())
+            self.a_O.append(Scalar.zero())
+            return Variable.multiplier_left(i)
+        i = self.pending_multiplier
+        self.pending_multiplier = None
+        self.a_R[i] = scalar
+        self.a_O[i] = self.a_L[i] * scalar
+        return Variable.multiplier_right(i)
+
+    def allocate_multiplier(self, input_assignments=None):
+        if input_assignments is None:
+            raise MissingAssignment()
+        l, r = input_assignments
+        return self._allocate_vars(l, r, l * r)
+
+    def constrain(self, lc):
+        self.constraints.append(LinearCombination.coerce(lc))
+
+    def specify_randomized_constraints(self, callback):
+        self.deferred_constraints.append(callback)
+
+    def evaluate_lc(self, lc):
+        return self.eval(lc)
+
+    def num_constraints(self):
+        return len(self.constraints)
+
+    def num_multipliers(self):
+        return len(self.a_O)
+
+    # ---- proving ----
+    def _flattened_constraints(self, z):
+        """Fold constraint rows with powers z^(q+1) into wL/wR/wO/wV
+        (`prover.rs:142-184`). Streaming (no explicit weight matrices)."""
+        r = self.g.cv.r
+        n = len(self.a_L)
+        m = len(self.v)
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
+        exp_z = z.v
+        zv = z.v
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                k = var.kind
+                if k == MULT_LEFT:
+                    wL[var.index] = (wL[var.index] + exp_z * coeff.v) % r
+                elif k == MULT_RIGHT:
+                    wR[var.index] = (wR[var.index] + exp_z * coeff.v) % r
+                elif k == MULT_OUTPUT:
+                    wO[var.index] = (wO[var.index] + exp_z * coeff.v) % r
+                elif k == COMMITTED:
+                    wV[var.index] = (wV[var.index] - exp_z * coeff.v) % r
+                # ONE: prover skips constant terms
+            exp_z = exp_z * zv % r
+        return ([Scalar(x) for x in wL], [Scalar(x) for x in wR],
+                [Scalar(x) for x in wO], [Scalar(x) for x in wV])
+
+    def _create_randomized_constraints(self):
+        """`prover.rs:300-319`"""
+        self.pending_multiplier = None
+        if not self.deferred_constraints:
+            self.transcript.r1cs_1phase_domain_sep()
+        else:
+            self.transcript.r1cs_2phase_domain_sep()
+            callbacks, self.deferred_constraints = \
+                self.deferred_constraints, []
+            wrapped = RandomizingProver(self)
+            for cb in callbacks:
+                cb(wrapped)
+
+    def prove(self, G, H) -> R1CSProof:
+        """`prover.rs:322-593`"""
+        tr = self.transcript
+        rng = self.rng
+        tr.append_u64(b"m", len(self.v))
+
+        n1 = len(self.a_L)
+        if len(G) < n1:
+            raise InvalidGeneratorsLength()
+
+        i_blinding1 = Scalar.random(rng)
+        o_blinding1 = Scalar.random(rng)
+        s_blinding1 = Scalar.random(rng)
+        s_L1 = random_scalars(n1, rng)
+        s_R1 = random_scalars(n1, rng)
+
+        G_n1, H_n1 = G[:n1], H[:n1]
+        be = get_backend(2 * n1 + 1)
+        # A_I = <a_L, G> + <a_R, H> + i_blinding * h   [prover.rs:347-355]
+        A_I1 = be.msm(G_n1 + H_n1 + [self.h],
+                      self.a_L + self.a_R + [i_blinding1])
+        # A_O = <a_O, G> + o_blinding * h
+        A_O1 = be.msm(G_n1 + [self.h], self.a_O + [o_blinding1])
+        # S = <s_L, G> + <s_R, H> + s_blinding * h
+        S1 = be.msm(G_n1 + H_n1 + [self.h], s_L1 + s_R1 + [s_blinding1])
+
+        tr.commit_point(b"A_I1", A_I1)
+        tr.commit_point(b"A_O1", A_O1)
+        tr.commit_point(b"S1", S1)
+
+        self._create_randomized_constraints()
+
+        n = len(self.a_L)
+        n2 = n - n1
+        padded_n = _next_power_of_two(n)
+        pad = padded_n - n
+        if len(G) < padded_n:
+            raise InvalidGeneratorsLength()
+
+        has_phase2 = n2 > 0
+        if has_phase2:
+            i_blinding2 = Scalar.random(rng)
+            o_blinding2 = Scalar.random(rng)
+            s_blinding2 = Scalar.random(rng)
+        else:
+            i_blinding2 = o_blinding2 = s_blinding2 = Scalar.zero()
+        s_L2 = random_scalars(n2, rng)
+        s_R2 = random_scalars(n2, rng)
+
+        if has_phase2:
+            G_n2, H_n2 = G[n1:n], H[n1:n]
+            be2 = get_backend(2 * n2 + 1)
+            A_I2 = be2.msm(G_n2 + H_n2 + [self.h],
+                           self.a_L[n1:] + self.a_R[n1:] + [i_blinding2])
+            A_O2 = be2.msm(G_n2 + [self.h], self.a_O[n1:] + [o_blinding2])
+            S2 = be2.msm(G_n2 + H_n2 + [self.h], s_L2 + s_R2 + [s_blinding2])
+        else:
+            ident = type(self.g).identity(self.g.cv)
+            A_I2 = A_O2 = S2 = ident
+
+        tr.commit_point(b"A_I2", A_I2)
+        tr.commit_point(b"A_O2", A_O2)
+        tr.commit_point(b"S2", S2)
+
+        y = tr.challenge_scalar(b"y")
+        z = tr.challenge_scalar(b"z")
+
+        wL, wR, wO, wV = self._flattened_constraints(z)
+
+        # l(x), r(x) degree-3 vector polynomials  [prover.rs:458-486]
+        l_poly = VecPoly3(n)
+        r_poly = VecPoly3(n)
+        y_inv = y.inverse()
+        exp_y_inv = vandermonde_vector(y_inv, padded_n)
+        exp_y = Scalar.one()
+        sL = s_L1 + s_L2
+        sR = s_R1 + s_R2
+        for i in range(n):
+            l_poly.c[1][i] = self.a_L[i] + exp_y_inv[i] * wR[i]
+            l_poly.c[2][i] = self.a_O[i]
+            l_poly.c[3][i] = sL[i]
+            r_poly.c[0][i] = wO[i] - exp_y
+            r_poly.c[1][i] = exp_y * self.a_R[i] + wL[i]
+            r_poly.c[3][i] = exp_y * sR[i]
+            exp_y = exp_y * y
+
+        t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
+
+        t_1_blinding = Scalar.random(rng)
+        t_3_blinding = Scalar.random(rng)
+        t_4_blinding = Scalar.random(rng)
+        t_5_blinding = Scalar.random(rng)
+        t_6_blinding = Scalar.random(rng)
+
+        T_1 = commit_to_field_element(self.g, self.h, t_poly.t1, t_1_blinding)
+        T_3 = commit_to_field_element(self.g, self.h, t_poly.t3, t_3_blinding)
+        T_4 = commit_to_field_element(self.g, self.h, t_poly.t4, t_4_blinding)
+        T_5 = commit_to_field_element(self.g, self.h, t_poly.t5, t_5_blinding)
+        T_6 = commit_to_field_element(self.g, self.h, t_poly.t6, t_6_blinding)
+
+        tr.commit_point(b"T_1", T_1)
+        tr.commit_point(b"T_3", T_3)
+        tr.commit_point(b"T_4", T_4)
+        tr.commit_point(b"T_5", T_5)
+        tr.commit_point(b"T_6", T_6)
+
+        u = tr.challenge_scalar(b"u")
+        x = tr.challenge_scalar(b"x")
+
+        # T_2 commitment is synthesized from the V's: t_2_blinding = <wV, v~>
+        t_2_blinding = inner_product(wV, self.v_blinding)
+        t_blinding_poly = Poly6(t_1_blinding, t_2_blinding, t_3_blinding,
+                                t_4_blinding, t_5_blinding, t_6_blinding)
+
+        t_x = t_poly.eval(x)
+        t_x_blinding = t_blinding_poly.eval(x)
+        l_vec = l_poly.eval(x) + [Scalar.zero()] * pad
+        r_vec = r_poly.eval(x)
+        # r_poly has -y^i constant terms even in the padding [prover.rs:530-535]
+        for _ in range(n, padded_n):
+            r_vec.append(-exp_y)
+            exp_y = exp_y * y
+
+        i_blinding = i_blinding1 + u * i_blinding2
+        o_blinding = o_blinding1 + u * o_blinding2
+        s_blinding = s_blinding1 + u * s_blinding2
+        e_blinding = x * (i_blinding + x * (o_blinding + x * s_blinding))
+
+        tr.commit_scalar(b"t_x", t_x)
+        tr.commit_scalar(b"t_x_blinding", t_x_blinding)
+        tr.commit_scalar(b"e_blinding", e_blinding)
+
+        w = tr.challenge_scalar(b"w")
+        Q = self.g * w
+
+        one = Scalar.one()
+        G_factors = [one] * n1 + [u] * (n2 + pad)
+        H_factors = [yi * uf for yi, uf in zip(exp_y_inv, G_factors)]
+
+        ipp_proof = ipp_mod.create_ipp(tr, Q, G_factors, H_factors,
+                                       G[:padded_n], H[:padded_n],
+                                       l_vec, r_vec)
+
+        return R1CSProof(A_I1=A_I1, A_O1=A_O1, S1=S1, A_I2=A_I2, A_O2=A_O2,
+                         S2=S2, T_1=T_1, T_3=T_3, T_4=T_4, T_5=T_5, T_6=T_6,
+                         t_x=t_x, t_x_blinding=t_x_blinding,
+                         e_blinding=e_blinding, ipp_proof=ipp_proof)
+
+
+class RandomizingProver(RandomizedConstraintSystem):
+    """Phase-2 wrapper (`prover.rs:714-763`): same CS ops, executes deferred
+    callbacks immediately, and can draw transcript challenges."""
+
+    def __init__(self, prover):
+        self.prover = prover
+
+    def multiply(self, left, right):
+        return self.prover.multiply(left, right)
+
+    def allocate(self, assignment=None):
+        return self.prover.allocate(assignment)
+
+    def allocate_multiplier(self, input_assignments=None):
+        return self.prover.allocate_multiplier(input_assignments)
+
+    def constrain(self, lc):
+        self.prover.constrain(lc)
+
+    def specify_randomized_constraints(self, callback):
+        callback(self)
+
+    def evaluate_lc(self, lc):
+        return self.prover.evaluate_lc(lc)
+
+    def challenge_scalar(self, label):
+        return self.prover.transcript.challenge_scalar(label)

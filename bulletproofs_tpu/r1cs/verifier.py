@@ -1,0 +1,273 @@
+"""R1CS Verifier (`/root/reference/src/r1cs/verifier.rs`).
+
+Mirror of the prover without witness assignments; `verify` replays the
+transcript and reduces the whole check to ONE mega-MSM of size
+13 + m + 2n' + 2 lg n' compared against the identity
+(`verifier.rs:267-457`) — exactly the shape the sharded Pippenger MSM
+accelerates.
+"""
+
+from .. import ipp as ipp_mod
+from ..backend import get_backend
+from ..ops.field_host import Scalar, inner_product, vandermonde_vector
+from ..utils.errors import (InvalidGeneratorsLength, VerificationError)
+from .constraint_system import ConstraintSystem, RandomizedConstraintSystem
+from .linear_combination import (COMMITTED, MULT_LEFT, MULT_OUTPUT, MULT_RIGHT,
+                                 ONE, LinearCombination, Variable)
+
+
+def _next_power_of_two(n):
+    return 1 if n == 0 else 1 << (n - 1).bit_length()
+
+
+class Verifier(ConstraintSystem):
+    def __init__(self, transcript, rng=None):
+        transcript.r1cs_domain_sep()
+        self.transcript = transcript
+        self.rng = rng
+        self.constraints = []
+        self.num_vars = 0
+        self.V = []
+        self.deferred_constraints = []
+        self.pending_multiplier = None
+
+    def commit(self, commitment):
+        """Register an external V commitment (`verifier.rs:124-132`)."""
+        i = len(self.V)
+        self.transcript.commit_point(b"V", commitment)
+        self.V.append(commitment)
+        return Variable.committed(i)
+
+    # ---- constraint system (no assignments) ----
+    def _allocate_vars(self):
+        i = self.num_vars
+        self.num_vars += 1
+        return (Variable.multiplier_left(i), Variable.multiplier_right(i),
+                Variable.multiplier_output(i))
+
+    def multiply(self, left, right):
+        left = LinearCombination.coerce(left)
+        right = LinearCombination.coerce(right)
+        l_var, r_var, o_var = self._allocate_vars()
+        self.constrain(left - l_var)
+        self.constrain(right - r_var)
+        return l_var, r_var, o_var
+
+    def allocate(self, assignment=None):
+        if self.pending_multiplier is None:
+            i = self.num_vars
+            self.num_vars += 1
+            self.pending_multiplier = i
+            return Variable.multiplier_left(i)
+        i = self.pending_multiplier
+        self.pending_multiplier = None
+        return Variable.multiplier_right(i)
+
+    def allocate_multiplier(self, input_assignments=None):
+        return self._allocate_vars()
+
+    def constrain(self, lc):
+        self.constraints.append(LinearCombination.coerce(lc))
+
+    def specify_randomized_constraints(self, callback):
+        self.deferred_constraints.append(callback)
+
+    def evaluate_lc(self, lc):
+        return None
+
+    def num_constraints(self):
+        return len(self.constraints)
+
+    def num_multipliers(self):
+        return self.num_vars
+
+    # ---- verification ----
+    def _flattened_constraints(self, z):
+        """Like the prover's, plus the constant term wc
+        (`verifier.rs:149-193`)."""
+        r = self.transcript_curve_r()
+        n = self.num_vars
+        m = len(self.V)
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
+        wc = 0
+        exp_z = z.v
+        zv = z.v
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                k = var.kind
+                if k == MULT_LEFT:
+                    wL[var.index] = (wL[var.index] + exp_z * coeff.v) % r
+                elif k == MULT_RIGHT:
+                    wR[var.index] = (wR[var.index] + exp_z * coeff.v) % r
+                elif k == MULT_OUTPUT:
+                    wO[var.index] = (wO[var.index] + exp_z * coeff.v) % r
+                elif k == COMMITTED:
+                    wV[var.index] = (wV[var.index] - exp_z * coeff.v) % r
+                else:  # ONE
+                    wc = (wc - exp_z * coeff.v) % r
+            exp_z = exp_z * zv % r
+        return ([Scalar(v) for v in wL], [Scalar(v) for v in wR],
+                [Scalar(v) for v in wO], [Scalar(v) for v in wV], Scalar(wc))
+
+    def transcript_curve_r(self):
+        from ..config import curve
+        return curve().r
+
+    def _create_randomized_constraints(self):
+        self.pending_multiplier = None
+        if not self.deferred_constraints:
+            self.transcript.r1cs_1phase_domain_sep()
+        else:
+            self.transcript.r1cs_2phase_domain_sep()
+            callbacks, self.deferred_constraints = \
+                self.deferred_constraints, []
+            wrapped = RandomizingVerifier(self)
+            for cb in callbacks:
+                cb(wrapped)
+
+    def verify(self, proof, g, h, G, H):
+        """`verifier.rs:267-457`"""
+        tr = self.transcript
+        tr.append_u64(b"m", len(self.V))
+
+        n1 = self.num_vars
+        tr.commit_point(b"A_I1", proof.A_I1)
+        tr.commit_point(b"A_O1", proof.A_O1)
+        tr.commit_point(b"S1", proof.S1)
+
+        self._create_randomized_constraints()
+
+        n = self.num_vars
+        n2 = n - n1
+        padded_n = _next_power_of_two(n)
+        pad = padded_n - n
+        if len(G) < padded_n:
+            raise InvalidGeneratorsLength()
+
+        tr.commit_point(b"A_I2", proof.A_I2)
+        tr.commit_point(b"A_O2", proof.A_O2)
+        tr.commit_point(b"S2", proof.S2)
+
+        y = tr.challenge_scalar(b"y")
+        z = tr.challenge_scalar(b"z")
+
+        tr.commit_point(b"T_1", proof.T_1)
+        tr.commit_point(b"T_3", proof.T_3)
+        tr.commit_point(b"T_4", proof.T_4)
+        tr.commit_point(b"T_5", proof.T_5)
+        tr.commit_point(b"T_6", proof.T_6)
+
+        u = tr.challenge_scalar(b"u")
+        x = tr.challenge_scalar(b"x")
+
+        tr.commit_scalar(b"t_x", proof.t_x)
+        tr.commit_scalar(b"t_x_blinding", proof.t_x_blinding)
+        tr.commit_scalar(b"e_blinding", proof.e_blinding)
+
+        w = tr.challenge_scalar(b"w")
+
+        wL, wR, wO, wV, wc = self._flattened_constraints(z)
+
+        a = proof.ipp_proof.a
+        b = proof.ipp_proof.b
+
+        y_inv = y.inverse()
+        y_inv_vec = vandermonde_vector(y_inv, padded_n)
+        zero = Scalar.zero()
+        y_inv_wR = [wRi * yi for wRi, yi in zip(wR, y_inv_vec)] \
+            + [zero] * pad
+
+        delta = inner_product(y_inv_wR[:n], wL)
+
+        u_sq, u_inv_sq, s = ipp_mod.verification_scalars(
+            proof.ipp_proof.L, proof.ipp_proof.R, padded_n, tr)
+
+        one = Scalar.one()
+        u_pad = [one] * n1 + [u] * (n2 + pad)
+
+        g_scalars = [u_or_1 * (x * ywr - a * s_i)
+                     for ywr, u_or_1, s_i in zip(y_inv_wR, u_pad, s)]
+
+        s_rev = list(reversed(s))
+        wL_pad = wL + [zero] * pad
+        wO_pad = wO + [zero] * pad
+        h_scalars = [
+            u_or_1 * (y_inv_i * (x * wLi + wOi - b * s_i_inv) - one)
+            for y_inv_i, u_or_1, s_i_inv, wLi, wOi in
+            zip(y_inv_vec, u_pad, s_rev, wL_pad, wO_pad)
+        ]
+
+        # random batching scalar folds the t-check into the same MSM
+        r_batch = Scalar.random(self.rng)
+
+        x_sqr = x.square()
+        x_cube = x * x_sqr
+        r_x_sqr = r_batch * x_sqr
+
+        rx = r_batch * x
+        rx_cube = r_batch * x_cube
+        rx_4 = rx_cube * x
+        rx_5 = rx_4 * x
+        rx_6 = rx_5 * x
+        T_scalars = [rx, rx_cube, rx_4, rx_5, rx_6]
+        T_points = [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6]
+
+        ux = u * x
+        ux_sqr = u * x_sqr
+        ux_cube = u * x_cube
+        scalars = [x, x_sqr, x_cube, ux, ux_sqr, ux_cube]
+        scalars += [wv * r_x_sqr for wv in wV]
+        scalars += T_scalars
+        w_comb = w * (proof.t_x - a * b) \
+            + r_batch * (x_sqr * (wc + delta) - proof.t_x)
+        scalars.append(w_comb)
+        scalars.append(-(proof.e_blinding + r_batch * proof.t_x_blinding))
+        scalars += g_scalars
+        scalars += h_scalars
+        scalars += u_sq
+        scalars += u_inv_sq
+
+        points = [proof.A_I1, proof.A_O1, proof.S1,
+                  proof.A_I2, proof.A_O2, proof.S2]
+        points += self.V
+        points += T_points
+        points += [g, h]
+        points += G[:padded_n]
+        points += H[:padded_n]
+        points += proof.ipp_proof.L
+        points += proof.ipp_proof.R
+
+        res = get_backend(len(points)).msm(points, scalars)
+        if not res.is_identity():
+            raise VerificationError("R1CS proof verification failed")
+
+
+class RandomizingVerifier(RandomizedConstraintSystem):
+    """`verifier.rs:551-600`"""
+
+    def __init__(self, verifier):
+        self.verifier = verifier
+
+    def multiply(self, left, right):
+        return self.verifier.multiply(left, right)
+
+    def allocate(self, assignment=None):
+        return self.verifier.allocate(assignment)
+
+    def allocate_multiplier(self, input_assignments=None):
+        return self.verifier.allocate_multiplier(input_assignments)
+
+    def constrain(self, lc):
+        self.verifier.constrain(lc)
+
+    def specify_randomized_constraints(self, callback):
+        callback(self)
+
+    def evaluate_lc(self, lc):
+        return None
+
+    def challenge_scalar(self, label):
+        return self.verifier.transcript.challenge_scalar(label)

@@ -1,0 +1,22 @@
+"""Deterministic generator derivation (`/root/reference/src/utils/mod.rs:16-23`).
+
+G_i = hash_to_curve(prefix || str(i+1)); no trusted setup, recomputable from
+labels alone (the reference notes generators should be persisted in practice,
+`sparse_merkle_tree_4_ary.rs:250` — we cache by (curve, prefix, n)).
+"""
+
+from functools import lru_cache
+
+from ..config import curve
+from ..ops.ec_host import G1
+
+
+@lru_cache(maxsize=64)
+def _cached(curve_name, prefix, n):
+    return tuple(G1.from_msg_hash(f"{prefix}{i + 1}".encode())
+                 for i in range(n))
+
+
+def get_generators(prefix: str, n: int):
+    cached = _cached(curve().name, prefix, n)
+    return list(cached)
