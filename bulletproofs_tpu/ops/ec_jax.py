@@ -1,0 +1,213 @@
+"""Device (JAX/TPU) G1 group ops: batched complete projective arithmetic.
+
+TPU-native replacement for `amcl_wrapper::group_elem_g1::{G1, G1Vector}`
+(SURVEY.md section 2.1): the serial per-element loops of the reference —
+`binary_scalar_mul` IPA folds (`/root/reference/src/ipp.rs:115-130`), MSM
+inner loops — become batched kernels over point arrays here.
+
+Layout: a batch of points is ONE uint32 array of shape (3, L, *batch) —
+projective (X:Y:Z) coordinates in Montgomery form, 16-bit limbs on axis 1,
+batch trailing (TPU lanes).  Identity is (0 : 1 : 0).
+
+Group law: the branch-free COMPLETE projective addition of Renes-Costello-
+Batina 2016 (algorithm 7, a=0 specialization) — the same formulas as the host
+backend (`ops/ec_host.py`), so host and device cross-check exactly.
+Completeness matters on TPU: one formula for add/double/identity means no
+data-dependent branches anywhere, every op is a dense vector op.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LIMB_BITS, CurveParams
+from . import field_jax as fj
+from .field_jax import FieldCtx, add_mod, mont_mul, mul_small, neg_mod, sub_mod
+
+
+class CurveCtx:
+    """Device constants for one curve's G1 (cached singleton per curve)."""
+
+    _cache = {}
+
+    def __new__(cls, cv: CurveParams):
+        if cv.name in cls._cache:
+            return cls._cache[cv.name]
+        self = super().__new__(cls)
+        cls._cache[cv.name] = self
+        self.cv = cv
+        self.fp = FieldCtx(cv.fp)
+        self.fr = FieldCtx(cv.fr)
+        self.b3 = 3 * cv.b
+        L = self.fp.L
+        # identity (0 : 1 : 0) in Montgomery form, shape (3, L, 1)
+        self.identity = jnp.stack([
+            self.fp.zero, self.fp.one_m, self.fp.zero], axis=0)
+        return self
+
+    def identity_like(self, shape):
+        """(3, L, *shape) batch of identities."""
+        return jnp.broadcast_to(
+            self.identity.reshape((3, self.fp.L) + (1,) * len(shape)),
+            (3, self.fp.L) + tuple(shape))
+
+
+# ---------------------------------------------------------------------------
+# Group law
+# ---------------------------------------------------------------------------
+
+def ec_add(P, Q, ctx: CurveCtx):
+    """Complete projective addition (RCB16 alg. 7, a=0), batched."""
+    f = ctx.fp
+    b3 = ctx.b3
+    X1, Y1, Z1 = P[0], P[1], P[2]
+    X2, Y2, Z2 = Q[0], Q[1], Q[2]
+
+    t0 = mont_mul(X1, X2, f)
+    t1 = mont_mul(Y1, Y2, f)
+    t2 = mont_mul(Z1, Z2, f)
+    # X1Y2 + X2Y1
+    xy = sub_mod(sub_mod(mont_mul(add_mod(X1, Y1, f), add_mod(X2, Y2, f), f),
+                         t0, f), t1, f)
+    # Y1Z2 + Y2Z1
+    yz = sub_mod(sub_mod(mont_mul(add_mod(Y1, Z1, f), add_mod(Y2, Z2, f), f),
+                         t1, f), t2, f)
+    # X1Z2 + X2Z1
+    xz = sub_mod(sub_mod(mont_mul(add_mod(X1, Z1, f), add_mod(X2, Z2, f), f),
+                         t0, f), t2, f)
+    b3_t2 = mul_small(t2, b3, f)
+    m = sub_mod(t1, b3_t2, f)              # Y1Y2 - 3b Z1Z2
+    n = add_mod(t1, b3_t2, f)              # Y1Y2 + 3b Z1Z2
+    b3_yz_xz = mul_small(mont_mul(yz, xz, f), b3, f)
+    t0_3 = mul_small(t0, 3, f)
+
+    X3 = sub_mod(mont_mul(xy, m, f), b3_yz_xz, f)
+    Y3 = add_mod(mont_mul(n, m, f),
+                 mul_small(mont_mul(t0, xz, f), 3 * b3, f), f)
+    Z3 = add_mod(mont_mul(yz, n, f), mont_mul(t0_3, xy, f), f)
+    return jnp.stack([X3, Y3, Z3], axis=0)
+
+
+def ec_double(P, ctx: CurveCtx):
+    return ec_add(P, P, ctx)
+
+
+def ec_neg(P, ctx: CurveCtx):
+    return jnp.stack([P[0], neg_mod(P[1], ctx.fp), P[2]], axis=0)
+
+
+def ec_select(mask, P, Q):
+    """where(mask, P, Q) for a (batch,)-shaped bool mask."""
+    return jnp.where(mask[None, None], P, Q)
+
+
+def ec_is_identity(P):
+    """(batch,) bool: Z == 0."""
+    return fj.is_zero(P[2])
+
+
+# ---------------------------------------------------------------------------
+# Scalar multiplication / folds
+# ---------------------------------------------------------------------------
+
+def _bit_at(scalars, bit_idx):
+    """Bit `bit_idx` (traced int) of plain-form scalar limbs (Lr, *batch)."""
+    j = bit_idx // LIMB_BITS
+    sh = bit_idx % LIMB_BITS
+    limb = jax.lax.dynamic_index_in_dim(scalars, j, axis=0, keepdims=False)
+    return (limb >> sh) & 1
+
+
+def ec_scalar_mul(P, scalars, ctx: CurveCtx):
+    """[k_i * P_i] batched double-and-add ladder, MSB-first over the full
+    scalar-field bit width.  scalars: (Lr, *batch) plain-form limbs."""
+    n_bits = ctx.cv.fr.n_bits
+    acc0 = ctx.identity_like(P.shape[2:])
+
+    def body(i, acc):
+        bit_idx = n_bits - 1 - i
+        acc = ec_double(acc, ctx)
+        added = ec_add(acc, P, ctx)
+        return ec_select(_bit_at(scalars, bit_idx) == 1, added, acc)
+
+    return jax.lax.fori_loop(0, n_bits, body, acc0)
+
+
+def ec_pair_fold(PL, PR, s1, s2, ctx: CurveCtx):
+    """[s1_i*PL_i + s2_i*PR_i] — the batched IPA basis fold, replacing the
+    reference's per-element `binary_scalar_mul` loop (`ipp.rs:115-130`).
+
+    Straus/Shamir simultaneous ladder: one shared doubling chain, per-bit
+    select from the 4-entry table {O, PL, PR, PL+PR} (complete addition makes
+    the sel==0 identity-add branch-free).
+    """
+    n_bits = ctx.cv.fr.n_bits
+    T3 = ec_add(PL, PR, ctx)
+    O = ctx.identity_like(PL.shape[2:])
+    acc0 = O
+
+    def body(i, acc):
+        bit_idx = n_bits - 1 - i
+        b1 = _bit_at(s1, bit_idx)
+        b2 = _bit_at(s2, bit_idx)
+        acc = ec_double(acc, ctx)
+        delta = ec_select(b2 == 1,
+                          ec_select(b1 == 1, T3, PR),
+                          ec_select(b1 == 1, PL, O))
+        return ec_add(acc, delta, ctx)
+
+    return jax.lax.fori_loop(0, n_bits, body, acc0)
+
+
+# ---------------------------------------------------------------------------
+# Normalization / host interop
+# ---------------------------------------------------------------------------
+
+def ec_normalize(P, ctx: CurveCtx):
+    """Projective -> affine (x, y) Montgomery limbs via batched Fermat
+    inversion; identity maps to the amcl convention (0, 1)
+    (`ops/ec_host.py` `affine`)."""
+    f = ctx.fp
+    is_id = ec_is_identity(P)
+    # avoid 0-inverse: substitute Z=1 for identities
+    z = jnp.where(is_id[None], jnp.broadcast_to(
+        f.one_m.reshape((f.L,) + (1,) * (P.ndim - 2)), P[2].shape), P[2])
+    zinv = fj.inv_mont(z, f)
+    x = mont_mul(P[0], zinv, f)
+    y = mont_mul(P[1], zinv, f)
+    x = jnp.where(is_id[None], 0, x)
+    y = jnp.where(is_id[None], jnp.broadcast_to(
+        f.one_m.reshape((f.L,) + (1,) * (P.ndim - 2)), y.shape), y)
+    return x, y
+
+
+def to_device_points(points, ctx: CurveCtx):
+    """list[ec_host.G1] -> (3, L, n) Montgomery device array."""
+    coords = []
+    for pt in points:
+        coords.extend((pt.X, pt.Y, pt.Z))
+    m = ctx.fp.to_mont(coords)              # (L, 3n)
+    return jnp.transpose(m.reshape(ctx.fp.L, len(points), 3),
+                         (2, 0, 1))
+
+
+def from_device_points(P, ctx: CurveCtx):
+    """(3, L, n) device array -> list[ec_host.G1] (projective, unreduced)."""
+    from .ec_host import G1
+    L, n = P.shape[1], P.shape[2]
+    flat = jnp.transpose(P, (1, 0, 2)).reshape(L, 3 * n)   # (L, 3n)
+    ints = fj.limbs_to_ints(fj._from_mont_jit(flat, ctx.fp))
+    out = []
+    for i in range(n):
+        X, Y, Z = ints[i], ints[n + i], ints[2 * n + i]
+        out.append(G1(X, Y, Z, ctx.cv))
+    return out
+
+
+def to_device_scalars(scalars, ctx: CurveCtx):
+    """list[Scalar|int] -> (Lr, n) plain-form limb array."""
+    vals = [s.v if hasattr(s, "v") else int(s) % ctx.cv.r for s in scalars]
+    return jnp.asarray(fj.ints_to_limbs(vals, ctx.fr.L))

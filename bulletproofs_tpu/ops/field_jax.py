@@ -1,0 +1,330 @@
+"""Device (JAX/TPU) prime-field arithmetic: batched 16-bit-limb Montgomery
+kernels.
+
+This is the TPU-native replacement for the serial bignum layer the reference
+consumes through `amcl_wrapper::FieldElement` / `BigNum` (reference usage
+inventory in SURVEY.md section 2.1; serial loops e.g. the IPA fold
+`/root/reference/src/ipp.rs:115-130` all bottom out here).
+
+Representation
+--------------
+A field element is `n_limbs` little-endian 16-bit limbs stored in uint32
+lanes, limbs on AXIS 0, arbitrary batch dims trailing: shape (L, *batch).
+Batch-last keeps the vector axis on TPU lanes (128-wide) and the limb axis on
+sublanes, so every limb op is a full-width VPU op over the batch.
+
+Why 16-bit limbs in uint32: the widest exact integer multiply on the TPU VPU
+is 32-bit, and (2^16-1)^2 + 2*(2^16-1) < 2^32, so schoolbook partial products
+plus carry/addend never overflow a lane.
+
+All mul-heavy code works in Montgomery form with R = 2^(16*L).  The REDC here
+is the "separated" form (full product -> m = T*N' mod R -> (T + m*N)/R) rather
+than word-serial CIOS: it has fewer sequential dependencies and a much smaller
+XLA graph, which matters because these functions are inlined into EC formulas
+inside scan/loop bodies.
+
+Values are kept CANONICAL (< modulus) at function boundaries: simpler
+reasoning, and the cond-subtract is one borrow chain.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LIMB_BITS, LIMB_MASK, FieldParams
+
+U32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+
+# ---------------------------------------------------------------------------
+# Host <-> limb conversion (numpy; O(n) python-free via vectorized shifts)
+# ---------------------------------------------------------------------------
+
+def ints_to_limbs(values, n_limbs):
+    """List/array of python ints -> (L, n) uint32 little-endian 16-bit limbs."""
+    out = np.zeros((n_limbs, len(values)), dtype=np.uint32)
+    for j, v in enumerate(values):
+        v = int(v)
+        for i in range(n_limbs):
+            out[i, j] = v & LIMB_MASK
+            v >>= LIMB_BITS
+        assert v == 0, "value does not fit in limbs"
+    return out
+
+
+def limbs_to_ints(arr):
+    """(L, n) limbs -> list of python ints."""
+    arr = np.asarray(arr)
+    L = arr.shape[0]
+    flat = arr.reshape(L, -1)
+    out = []
+    for j in range(flat.shape[1]):
+        v = 0
+        for i in range(L - 1, -1, -1):
+            v = (v << LIMB_BITS) | int(flat[i, j])
+        out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Field context: device-resident constants for one prime field
+# ---------------------------------------------------------------------------
+
+class FieldCtx:
+    """Precomputed device constants for one `FieldParams`.
+
+    Shapes are (L, 1) so they broadcast against (L, *batch) operands.
+    """
+
+    _cache = {}
+
+    def __new__(cls, fp: FieldParams):
+        if fp.modulus in cls._cache:
+            return cls._cache[fp.modulus]
+        self = super().__new__(cls)
+        cls._cache[fp.modulus] = self
+        L = fp.n_limbs
+        self.fp = fp
+        self.L = L
+        self.mod_int = fp.modulus
+        # -modulus^-1 mod R (full-width Montgomery constant)
+        n_prime = (-pow(fp.modulus, -1, fp.mont_r)) % fp.mont_r
+        self.mod = jnp.asarray(ints_to_limbs([fp.modulus], L))
+        self.n_prime = jnp.asarray(ints_to_limbs([n_prime], L))
+        self.r2 = jnp.asarray(ints_to_limbs([fp.mont_r2], L))
+        self.one_m = jnp.asarray(ints_to_limbs([fp.mont_one], L))
+        self.zero = jnp.asarray(ints_to_limbs([0], L))
+        # exponent bits for Fermat inversion, LSB-first (static length)
+        e = fp.modulus - 2
+        self.inv_bits = jnp.asarray(
+            np.array([(e >> i) & 1 for i in range(fp.n_bits)],
+                     dtype=np.uint32))
+        return self
+
+    # -- convenience: host ints <-> device Montgomery form --
+    def to_mont(self, values):
+        a = jnp.asarray(ints_to_limbs([v % self.mod_int for v in values],
+                                      self.L))
+        return _to_mont_jit(a, self)
+
+    def from_mont(self, a):
+        return limbs_to_ints(_from_mont_jit(a, self))
+
+
+# ---------------------------------------------------------------------------
+# Carry / borrow chains (lax.scan over the limb axis: carry chains are
+# inherently sequential in limb index but full-batch-wide per step; scan keeps
+# the XLA graph tiny — these functions are inlined ~40x into each EC add)
+# ---------------------------------------------------------------------------
+
+_UNROLL = 4  # scan unroll factor: graph size vs loop overhead trade
+
+
+def _carry_norm(cols, out_len):
+    """Propagate carries over relaxed columns (< 2^26) -> canonical 16-bit
+    limbs, keeping `out_len` limbs (higher carries must be provably zero or
+    deliberately dropped by the caller)."""
+    K = cols.shape[0]
+    if K < out_len:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((out_len - K,) + cols.shape[1:], U32)], axis=0)
+    elif K > out_len:
+        cols = cols[:out_len]
+
+    def body(carry, col):
+        s = col + carry
+        return s >> LIMB_BITS, s & MASK
+
+    _, out = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols,
+                          unroll=_UNROLL)
+    return out
+
+
+def _sub_if_ge(x, m):
+    """x - m if x >= m else x, over (L', *batch) with m (L', 1). Borrow chain."""
+    Lx = x.shape[0]
+    if m.shape[0] < Lx:
+        m = jnp.concatenate(
+            [m, jnp.zeros((Lx - m.shape[0],) + m.shape[1:], U32)], axis=0)
+    base = np.uint32(1 << LIMB_BITS)
+    mb = jnp.broadcast_to(m, x.shape)
+
+    def body(borrow, xs):
+        xk, mk = xs
+        t = xk + base - mk - borrow
+        return 1 - (t >> LIMB_BITS), t & MASK
+
+    borrow, diff = jax.lax.scan(body, jnp.zeros_like(x[0]), (x, mb),
+                                unroll=_UNROLL)
+    return jnp.where((borrow == 0)[None], diff, x)
+
+
+# ---------------------------------------------------------------------------
+# Core limb products
+# ---------------------------------------------------------------------------
+
+def _mul_columns(a, b):
+    """Relaxed column sums of the schoolbook product a*b: (2L+1, *batch),
+    column values < 2L * 2^17 (lo/hi-split partial products).  Scan over the
+    limbs of `a`, accumulating a (Lb+1)-wide window at offset i."""
+    La, Lb = a.shape[0], b.shape[0]
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    n_cols = La + Lb + 1
+    cols0 = jnp.zeros((n_cols,) + batch, U32)
+    bb = jnp.broadcast_to(b, (Lb,) + batch)
+    zero_row = jnp.zeros((1,) + batch, U32)
+
+    def body(cols, xs):
+        a_i, i = xs
+        p = a_i * bb                                  # (Lb, *batch), exact
+        lo = jnp.concatenate([p & MASK, zero_row], axis=0)
+        hi = jnp.concatenate([zero_row, p >> LIMB_BITS], axis=0)
+        window = jax.lax.dynamic_slice_in_dim(cols, i, Lb + 1, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, window + lo + hi, i, axis=0)
+        return cols, None
+
+    cols, _ = jax.lax.scan(body, cols0,
+                           (a, jnp.arange(La, dtype=jnp.int32)))
+    return cols
+
+
+def mul_wide(a, b):
+    """Full 2L-limb canonical product (2L, *batch)."""
+    return _carry_norm(_mul_columns(a, b), a.shape[0] + b.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Modular ops (canonical in, canonical out)
+# ---------------------------------------------------------------------------
+
+def add_mod(a, b, ctx: FieldCtx):
+    L = ctx.L
+
+    def body(carry, xs):
+        ak, bk = xs
+        s = ak + bk + carry
+        return s >> LIMB_BITS, s & MASK
+
+    carry, lo = jax.lax.scan(body, jnp.zeros_like(a[0]),
+                             (a, jnp.broadcast_to(b, a.shape)),
+                             unroll=_UNROLL)
+    x = jnp.concatenate([lo, carry[None]], axis=0)   # a+b < 2p < 2^(16L+1)
+    return _sub_if_ge(x, ctx.mod)[:L]
+
+
+def sub_mod(a, b, ctx: FieldCtx):
+    base = np.uint32(1 << LIMB_BITS)
+    modb = jnp.broadcast_to(ctx.mod, a.shape)
+
+    def body(c, xs):
+        ak, bk, mk = xs
+        borrow, carry = c
+        t = ak + base - bk - borrow
+        d = t & MASK
+        nb = 1 - (t >> LIMB_BITS)
+        s = d + mk + carry
+        return (nb, s >> LIMB_BITS), (d, s & MASK)
+
+    (borrow, _), (diff, fixed) = jax.lax.scan(
+        body, (jnp.zeros_like(a[0]), jnp.zeros_like(a[0])),
+        (a, jnp.broadcast_to(b, a.shape), modb), unroll=_UNROLL)
+    return jnp.where((borrow == 1)[None], fixed, diff)
+
+
+def neg_mod(a, ctx: FieldCtx):
+    return sub_mod(jnp.broadcast_to(ctx.zero, a.shape), a, ctx)
+
+
+def mont_mul(a, b, ctx: FieldCtx):
+    """Montgomery product abR^-1 mod p, canonical in/out.
+
+    Separated REDC: T = a*b; m = (T mod R)*N' mod R; res = (T + m*N)/R,
+    then one conditional subtract (T < pR so res < 2p).
+    """
+    L = ctx.L
+    T = mul_wide(a, b)                                  # 2L canonical
+    m = _carry_norm(_mul_columns(a=T[:L], b=ctx.n_prime), L)  # T*N' mod R
+    U = _mul_columns(m, ctx.mod)                        # relaxed cols of m*N
+    S = U.at[:2 * L].add(T)                             # cols < 2L*2^17+2^16
+    S = _carry_norm(S, 2 * L + 1)
+    res = S[L:]                                          # (T+mN)/R, L+1 limbs
+    return _sub_if_ge(res, ctx.mod)[:L]
+
+
+def mont_sq(a, ctx: FieldCtx):
+    return mont_mul(a, a, ctx)
+
+
+def mul_small(a, k: int, ctx: FieldCtx):
+    """a * k for a small static python int k, via double-and-add of mod-adds
+    (cheaper than a Montgomery mul for the curve constants b3, 3*b3)."""
+    assert k > 0
+    bits = bin(k)[2:]
+    acc = a
+    for bit in bits[1:]:
+        acc = add_mod(acc, acc, ctx)
+        if bit == "1":
+            acc = add_mod(acc, a, ctx)
+    return acc
+
+
+def is_zero(a):
+    """(batch,) bool mask."""
+    return jnp.all(a == 0, axis=0)
+
+
+def inv_mont(a, ctx: FieldCtx):
+    """Batched Montgomery-domain inversion via Fermat (a^(p-2)), lax.scan over
+    the static exponent bits.  The device analog of `batch_invert`
+    (`/root/reference/src/ipp.rs:295`) — Fermat is fully data-parallel where
+    the Montgomery trick is sequential, the right trade on a TPU."""
+    one = jnp.broadcast_to(ctx.one_m, a.shape)
+
+    def body(carry, bit):
+        acc, base = carry
+        mult = mont_mul(acc, base, ctx)
+        acc = jnp.where((bit == 1), mult, acc)
+        base = mont_sq(base, ctx)
+        return (acc, base), None
+
+    (acc, _), _ = jax.lax.scan(body, (one, a), ctx.inv_bits)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# F_r vector helpers for the protocol hot paths (plain domain)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def _to_mont_jit(a, ctx):
+    return mont_mul(a, jnp.broadcast_to(ctx.r2, a.shape), ctx)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _from_mont_jit(a, ctx):
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(a, one, ctx)
+
+
+def get_digits(scalars, c: int, n_windows: int):
+    """Unsigned base-2^c digit decomposition of plain-form scalar limbs.
+
+    scalars: (Lr, n) canonical 16-bit limbs -> (n_windows, n) int32 digits.
+    c must be <= 16 so a digit spans at most two limbs.
+    """
+    assert c <= LIMB_BITS
+    Lr, = scalars.shape[:1]
+    digits = []
+    for w in range(n_windows):
+        off = c * w
+        j, sh = off // LIMB_BITS, off % LIMB_BITS
+        lo = scalars[j] >> sh
+        if sh + c > LIMB_BITS and j + 1 < Lr:
+            lo = lo | (scalars[j + 1] << (LIMB_BITS - sh))
+        digits.append(lo & np.uint32((1 << c) - 1))
+    return jnp.stack(digits, axis=0).astype(jnp.int32)
