@@ -124,6 +124,18 @@ class FieldCtx:
 _UNROLL = 4  # scan unroll factor: graph size vs loop overhead trade
 
 
+def _align(a, b):
+    """Expand batch dims (inserted after the leading limb axis) so the two
+    limb arrays broadcast; limbs-first layout means numpy right-alignment
+    would misalign the limb axis."""
+    nd = max(a.ndim, b.ndim)
+    while a.ndim < nd:
+        a = a[:, None]
+    while b.ndim < nd:
+        b = b[:, None]
+    return a, b
+
+
 def _carry_norm(cols, out_len):
     """Propagate carries over relaxed columns (< 2^26) -> canonical 16-bit
     limbs, keeping `out_len` limbs (higher carries must be provably zero or
@@ -144,6 +156,39 @@ def _carry_norm(cols, out_len):
     return out
 
 
+def _carry_sub_norm(cols, m, out_len):
+    """Fused carry-normalize + conditional subtract: relaxed columns ->
+    canonical limbs of (value mod-reduced by one subtraction of m if >= m).
+    One scan computes both the normalized limbs and the borrow chain of
+    (normalized - m); the select happens once at the end."""
+    K = cols.shape[0]
+    if K < out_len:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((out_len - K,) + cols.shape[1:], U32)], axis=0)
+    elif K > out_len:
+        cols = cols[:out_len]
+    mm = m
+    if mm.shape[0] < out_len:
+        mm = jnp.concatenate(
+            [mm, jnp.zeros((out_len - mm.shape[0],) + mm.shape[1:], U32)],
+            axis=0)
+    mb = jnp.broadcast_to(_align(mm, cols)[0], cols.shape)
+    base = np.uint32(1 << LIMB_BITS)
+
+    def body(c, xs):
+        col, mk = xs
+        carry, borrow = c
+        s = col + carry
+        limb = s & MASK
+        t = limb + base - mk - borrow
+        return (s >> LIMB_BITS, 1 - (t >> LIMB_BITS)), (limb, t & MASK)
+
+    (_, borrow), (norm, diff) = jax.lax.scan(
+        body, (jnp.zeros_like(cols[0]), jnp.zeros_like(cols[0])),
+        (cols, mb), unroll=_UNROLL)
+    return jnp.where((borrow == 0)[None], diff, norm)
+
+
 def _sub_if_ge(x, m):
     """x - m if x >= m else x, over (L', *batch) with m (L', 1). Borrow chain."""
     Lx = x.shape[0]
@@ -151,7 +196,7 @@ def _sub_if_ge(x, m):
         m = jnp.concatenate(
             [m, jnp.zeros((Lx - m.shape[0],) + m.shape[1:], U32)], axis=0)
     base = np.uint32(1 << LIMB_BITS)
-    mb = jnp.broadcast_to(m, x.shape)
+    mb = jnp.broadcast_to(_align(m, x)[0], x.shape)
 
     def body(borrow, xs):
         xk, mk = xs
@@ -171,6 +216,7 @@ def _mul_columns(a, b):
     """Relaxed column sums of the schoolbook product a*b: (2L+1, *batch),
     column values < 2L * 2^17 (lo/hi-split partial products).  Scan over the
     limbs of `a`, accumulating a (Lb+1)-wide window at offset i."""
+    a, b = _align(a, b)
     La, Lb = a.shape[0], b.shape[0]
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     n_cols = La + Lb + 1
@@ -204,22 +250,20 @@ def mul_wide(a, b):
 
 def add_mod(a, b, ctx: FieldCtx):
     L = ctx.L
-
-    def body(carry, xs):
-        ak, bk = xs
-        s = ak + bk + carry
-        return s >> LIMB_BITS, s & MASK
-
-    carry, lo = jax.lax.scan(body, jnp.zeros_like(a[0]),
-                             (a, jnp.broadcast_to(b, a.shape)),
-                             unroll=_UNROLL)
-    x = jnp.concatenate([lo, carry[None]], axis=0)   # a+b < 2p < 2^(16L+1)
-    return _sub_if_ge(x, ctx.mod)[:L]
+    a, b = _align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    cols = a + jnp.broadcast_to(b, a.shape)          # < 2^17 per limb
+    return _carry_sub_norm(cols, ctx.mod, L + 1)[:L]
 
 
 def sub_mod(a, b, ctx: FieldCtx):
     base = np.uint32(1 << LIMB_BITS)
-    modb = jnp.broadcast_to(ctx.mod, a.shape)
+    a, b = _align(a, b)
+    if a.shape[1:] != jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
+        a = jnp.broadcast_to(
+            a, a.shape[:1] + jnp.broadcast_shapes(a.shape[1:], b.shape[1:]))
+    modb = jnp.broadcast_to(_align(ctx.mod, a)[0], a.shape)
 
     def body(c, xs):
         ak, bk, mk = xs
@@ -237,7 +281,7 @@ def sub_mod(a, b, ctx: FieldCtx):
 
 
 def neg_mod(a, ctx: FieldCtx):
-    return sub_mod(jnp.broadcast_to(ctx.zero, a.shape), a, ctx)
+    return sub_mod(jnp.broadcast_to(_align(ctx.zero, a)[0], a.shape), a, ctx)
 
 
 def mont_mul(a, b, ctx: FieldCtx):
@@ -247,13 +291,32 @@ def mont_mul(a, b, ctx: FieldCtx):
     then one conditional subtract (T < pR so res < 2p).
     """
     L = ctx.L
-    T = mul_wide(a, b)                                  # 2L canonical
-    m = _carry_norm(_mul_columns(a=T[:L], b=ctx.n_prime), L)  # T*N' mod R
-    U = _mul_columns(m, ctx.mod)                        # relaxed cols of m*N
-    S = U.at[:2 * L].add(T)                             # cols < 2L*2^17+2^16
-    S = _carry_norm(S, 2 * L + 1)
-    res = S[L:]                                          # (T+mN)/R, L+1 limbs
-    return _sub_if_ge(res, ctx.mod)[:L]
+    a, b = _align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    bb = jnp.broadcast_to(b, (L,) + batch)
+    modb = jnp.broadcast_to(_align(ctx.mod, bb)[0], bb.shape)
+    n0inv = np.uint32(ctx.fp.n0inv)
+    t0 = jnp.zeros((L + 1,) + batch, U32)
+
+    # Fused CIOS: one scan iteration per limb of `a`; the running value t is
+    # kept as RELAXED columns (< 4L*2^16 + carries, safely < 2^32) and shifted
+    # one limb right per iteration.  t[0]'s low 16 bits are always exact
+    # (carries only flow upward), which is all m needs.
+    def body(t, a_i):
+        p = a_i * bb                                   # (L, batch) exact
+        t = t.at[:L].add(p & MASK).at[1:].add(p >> LIMB_BITS)
+        m = ((t[0] & MASK) * n0inv) & MASK
+        q = m * modb
+        t = t.at[:L].add(q & MASK).at[1:].add(q >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS                     # t[0] == 0 mod 2^16
+        t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
+        t = t.at[0].add(carry0)
+        return t, None
+
+    t, _ = jax.lax.scan(body, t0, a)
+    # t holds (a*b + m*N)/R < 2p as relaxed columns
+    return _carry_sub_norm(t, ctx.mod, L + 1)[:L]
 
 
 def mont_sq(a, ctx: FieldCtx):
@@ -283,7 +346,7 @@ def inv_mont(a, ctx: FieldCtx):
     the static exponent bits.  The device analog of `batch_invert`
     (`/root/reference/src/ipp.rs:295`) — Fermat is fully data-parallel where
     the Montgomery trick is sequential, the right trade on a TPU."""
-    one = jnp.broadcast_to(ctx.one_m, a.shape)
+    one = jnp.broadcast_to(_align(ctx.one_m, a)[0], a.shape)
 
     def body(carry, bit):
         acc, base = carry
