@@ -154,8 +154,18 @@ class G1:
     __rmul__ = __mul__
 
     def binary_scalar_mul(self, other, s1, s2):
-        """s1*self + s2*other — the per-element IPA fold (`ipp.rs:119-129`)."""
-        return self * s1 + other * s2
+        """s1*self + s2*other — the per-element IPA fold (`ipp.rs:119-129`).
+        Straus/Shamir ladder: one shared doubling chain, table {P,Q,P+Q}."""
+        k1 = (s1.v if isinstance(s1, Scalar) else s1) % self.cv.r
+        k2 = (s2.v if isinstance(s2, Scalar) else s2) % self.cv.r
+        table = (None, self, other, self + other)
+        acc = G1.identity(self.cv)
+        for i in range(max(k1.bit_length(), k2.bit_length()) - 1, -1, -1):
+            acc = acc + acc
+            sel = ((k1 >> i) & 1) | (((k2 >> i) & 1) << 1)
+            if sel:
+                acc = acc + table[sel]
+        return acc
 
     def __eq__(self, o):
         if not isinstance(o, G1):
@@ -182,20 +192,46 @@ def msm_host(points, scalars):
 
     Equivalent of `G1Vector::multi_scalar_mul_var_time` /
     `inner_product_var_time_with_ref_vecs` (`ipp.rs:91,104`, `verifier.rs:451`).
-    Simple per-bit shared-doubling; device Pippenger lives in `ops/msm.py`.
+    Serial var-time Pippenger; the device Pippenger lives in `ops/msm.py`.
     """
     assert len(points) == len(scalars)
     cv = points[0].cv if points else curve()
-    acc = G1.identity(cv)
-    ks = [(s.v if isinstance(s, Scalar) else s % cv.r) for s in scalars]
+    ident = G1.identity(cv)
     if not points:
-        return acc
+        return ident
+    ks = [(s.v if isinstance(s, Scalar) else s % cv.r) for s in scalars]
     maxbits = max((k.bit_length() for k in ks), default=0)
-    for i in range(maxbits - 1, -1, -1):
-        acc = acc + acc
+    if maxbits == 0:
+        return ident
+    n = len(points)
+    c = max(1, min(14, n.bit_length() - 1))
+    total = ident
+    for w in range((maxbits - 1) // c * c, -1, -c):
+        for _ in range(c):
+            total = total + total
+        buckets = {}
         for pt, k in zip(points, ks):
-            if (k >> i) & 1:
-                acc = acc + pt
+            d = (k >> w) & ((1 << c) - 1)
+            if d:
+                buckets[d] = buckets[d] + pt if d in buckets else pt
+        total = total + _weighted_bucket_sum(buckets, ident)
+    return total
+
+
+def _weighted_bucket_sum(buckets, ident):
+    """sum_d d * B_d for a sparse {digit: point} dict: descending running
+    sums with gap scalar-mults (sum_k (d_k - d_{k+1}) * running_k)."""
+    acc = ident
+    running = ident
+    prev = None
+    for d in sorted(buckets, reverse=True):
+        if prev is not None:
+            gap = prev - d
+            acc = acc + (running._mul_int(gap) if gap > 1 else running)
+        running = running + buckets[d]
+        prev = d
+    if prev is not None:
+        acc = acc + (running._mul_int(prev) if prev > 1 else running)
     return acc
 
 

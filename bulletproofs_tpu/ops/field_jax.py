@@ -121,7 +121,14 @@ class FieldCtx:
 # the XLA graph tiny — these functions are inlined ~40x into each EC add)
 # ---------------------------------------------------------------------------
 
-_UNROLL = 4  # scan unroll factor: graph size vs loop overhead trade
+# Unroll factors: TPU while-loops cost ~10us per iteration of overhead, which
+# dwarfs the tiny per-step carry work, so short carry/borrow chains unroll
+# fully (~5 primitives per limb); the CIOS product scan unrolls partially
+# (its body is larger).
+import os as _os
+
+_UNROLL = int(_os.environ.get("BP_UNROLL", "8"))
+_CIOS_UNROLL = int(_os.environ.get("BP_CIOS_UNROLL", "4"))
 
 
 def _align(a, b):
@@ -314,7 +321,7 @@ def mont_mul(a, b, ctx: FieldCtx):
         t = t.at[0].add(carry0)
         return t, None
 
-    t, _ = jax.lax.scan(body, t0, a)
+    t, _ = jax.lax.scan(body, t0, a, unroll=_CIOS_UNROLL)
     # t holds (a*b + m*N)/R < 2p as relaxed columns
     return _carry_sub_norm(t, ctx.mod, L + 1)[:L]
 

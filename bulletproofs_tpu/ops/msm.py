@@ -39,8 +39,12 @@ from .ec_jax import CurveCtx, ec_add, ec_double, to_device_points, \
 
 
 def pick_window(n: int) -> int:
-    """Even window size balancing bucket-round work (~n*W* max/mean occupancy)
-    against combine work (~2*2^c per window)."""
+    """Even window size.  Larger c costs more combine work (~2*2^c/window)
+    but fewer sequential rounds (round depth = max bucket occupancy
+    ~ n/2^c * (1 + tail)); on TPU the per-round overhead makes shallow-and-
+    wide win: keep occupancy around 32-64."""
+    if n >= 32768:
+        return 10
     if n >= 4096:
         return 8
     if n >= 512:
@@ -59,7 +63,11 @@ def _round_plan(digits, B):
     (W, n+B) with a sentinel tail, plus max_rank (traced scalar).
 
     rank of a point within its bucket = its round index; within one round all
-    active points of a window hit distinct buckets.
+    active points of a window hit distinct buckets.  The round-major order is
+    sorted by (rank, digit) so each round's run is digit-sorted: the bucket
+    phase can then locate every bucket's point with a vectorized binary
+    search + GATHER — no EC-payload scatter anywhere (XLA scatters serialize
+    on TPU; gathers are fast).
     """
     W, n = digits.shape
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
@@ -71,9 +79,9 @@ def _round_plan(digits, B):
         jnp.where(is_start, iota, 0), axis=1)
     rank = iota - start_pos                       # occupancy rank, sorted order
     max_rank = jnp.max(rank)
-    # round-major: group by rank
-    rank_ord, ids_ord, dig_ord = jax.lax.sort(
-        (rank, perm, sorted_d), dimension=-1, num_keys=1)
+    # round-major with digit as secondary key
+    rank_ord, dig_ord, ids_ord = jax.lax.sort(
+        (rank, sorted_d, perm), dimension=-1, num_keys=2)
     # sentinel tail so dynamic slices of width B never go OOB
     pad_r = jnp.full((W, B), n + 1, jnp.int32)
     pad_z = jnp.zeros((W, B), jnp.int32)
@@ -93,23 +101,29 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int):
     W = digits.shape[0]
     rank_ord, ids_ord, dig_ord, max_rank = _round_plan(digits, B)
     buckets0 = ctx.identity_like((W, B))
-    ident_B = ctx.identity_like((B,))
+    buckets_iota = jnp.arange(B, dtype=jnp.int32)
+    identity = ctx.identity
 
     def one_window(rank_row, ids_row, dig_row, t):
+        """Indices (pid, found) for round t of one window — gathers only."""
         s = jnp.searchsorted(rank_row, t, side="left")
         r = jax.lax.dynamic_slice_in_dim(rank_row, s, B)
         ids = jax.lax.dynamic_slice_in_dim(ids_row, s, B)
         dig = jax.lax.dynamic_slice_in_dim(dig_row, s, B)
-        valid = r == t
-        pts = points[:, :, ids]                           # (3, L, B)
-        tgt = jnp.where(valid, dig, B)                    # B = drop slot
-        delta = jnp.concatenate([ident_B, ident_B[:, :, :1]], axis=2)
-        delta = delta.at[:, :, tgt].set(pts)[:, :, :B]
-        return delta
+        # mask entries beyond this round with an impossible digit, then give
+        # every bucket b the position of its (unique, digit-sorted) point
+        dq = jnp.where(r == t, dig, B + 1)
+        pos = jnp.minimum(jnp.searchsorted(dq, buckets_iota, side="left"),
+                          B - 1)
+        found = dq[pos] == buckets_iota
+        return ids[pos], found
 
     def body(t, buckets):
-        delta = jax.vmap(one_window, in_axes=(0, 0, 0, None),
-                         out_axes=2)(rank_ord, ids_ord, dig_ord, t)
+        pid, found = jax.vmap(one_window, in_axes=(0, 0, 0, None))(
+            rank_ord, ids_ord, dig_ord, t)        # (W, B) each
+        pts = points[:, :, pid]                   # (3, L, W, B) gather
+        delta = jnp.where(found[None, None], pts,
+                          identity.reshape(3, -1, 1, 1))
         return ec_add(buckets, delta, ctx)
 
     return jax.lax.fori_loop(0, max_rank + 1, body, buckets0)

@@ -10,6 +10,12 @@ import os
 # sitecustomize re-registers it, so an env-var override is not enough: force
 # the CPU platform through jax.config before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# low scan-unroll: fast XLA-CPU compiles (TPU runs use high unroll)
+# host backend for protocol round-trips (device kernels are
+# covered explicitly in test_device_ops / test_backend_jax)
+os.environ.setdefault("BP_BACKEND", "host")
+os.environ.setdefault("BP_UNROLL", "4")
+os.environ.setdefault("BP_CIOS_UNROLL", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = \
@@ -18,6 +24,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 

@@ -1,0 +1,121 @@
+"""Device kernel tests: field/EC/MSM limb kernels vs the exact host backend,
+plus the sharded MSM on the virtual 8-device CPU mesh (the reference has no
+parallel analog — SURVEY.md section 4 'multi-node testing' gap)."""
+
+import random
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bulletproofs_tpu.config import BLS381, BN254, using_curve
+from bulletproofs_tpu.ops import ec_jax as ej
+from bulletproofs_tpu.ops import field_jax as fj
+from bulletproofs_tpu.ops import msm as msm_mod
+from bulletproofs_tpu.ops.ec_host import G1, msm_host
+from bulletproofs_tpu.ops.field_host import Scalar
+
+
+@pytest.mark.parametrize("cv", [BLS381, BN254], ids=lambda c: c.name)
+def test_field_kernels(cv, rng):
+    for fp in (cv.fp, cv.fr):
+        ctx = fj.FieldCtx(fp)
+        p = fp.modulus
+        n = 17
+        a = [rng.randrange(p) for _ in range(n)] + [0, p - 1]
+        b = [rng.randrange(p) for _ in range(n)] + [p - 1, p - 1]
+        al = jnp.asarray(fj.ints_to_limbs(a, ctx.L))
+        bl = jnp.asarray(fj.ints_to_limbs(b, ctx.L))
+        assert fj.limbs_to_ints(fj.add_mod(al, bl, ctx)) == \
+            [(x + y) % p for x, y in zip(a, b)]
+        assert fj.limbs_to_ints(fj.sub_mod(al, bl, ctx)) == \
+            [(x - y) % p for x, y in zip(a, b)]
+        assert fj.limbs_to_ints(fj.neg_mod(al, ctx)) == [(-x) % p for x in a]
+        am, bm = ctx.to_mont(a), ctx.to_mont(b)
+        assert ctx.from_mont(fj.mont_mul(am, bm, ctx)) == \
+            [x * y % p for x, y in zip(a, b)]
+        assert ctx.from_mont(fj.mul_small(am, 12, ctx)) == \
+            [x * 12 % p for x in a]
+        nz = [x or 1 for x in a]
+        nzm = ctx.to_mont(nz)
+        assert ctx.from_mont(fj.inv_mont(nzm, ctx)) == \
+            [pow(x, -1, p) for x in nz]
+
+
+@pytest.mark.parametrize("cv", [BLS381, BN254], ids=lambda c: c.name)
+def test_ec_kernels(cv, rng):
+    with using_curve(cv):
+        ctx = ej.CurveCtx(cv)
+        n = 8
+        pts1 = [G1.random(rng) for _ in range(n - 1)] + [G1.identity()]
+        pts2 = [G1.random(rng) for _ in range(n - 2)] + [G1.identity(),
+                                                         pts1[0]]
+        P = ej.to_device_points(pts1, ctx)
+        Q = ej.to_device_points(pts2, ctx)
+        got = ej.from_device_points(ej.ec_add(P, Q, ctx), ctx)
+        assert got == [a + b for a, b in zip(pts1, pts2)]
+        got = ej.from_device_points(ej.ec_add(P, P, ctx), ctx)
+        assert got == [a + a for a in pts1]
+
+        ks = [Scalar.random(rng) for _ in range(n - 1)] + [Scalar(0)]
+        got = ej.from_device_points(
+            ej.ec_scalar_mul(P, ej.to_device_scalars(ks, ctx), ctx), ctx)
+        assert got == [p * k for p, k in zip(pts1, ks)]
+
+        s1 = [Scalar.random(rng) for _ in range(n)]
+        s2 = [Scalar.random(rng) for _ in range(n)]
+        got = ej.from_device_points(
+            ej.ec_pair_fold(P, Q, ej.to_device_scalars(s1, ctx),
+                            ej.to_device_scalars(s2, ctx), ctx), ctx)
+        assert got == [p.binary_scalar_mul(q, a, b)
+                       for p, q, a, b in zip(pts1, pts2, s1, s2)]
+
+
+@pytest.mark.parametrize("n", [1, 3, 64, 257])
+def test_msm_device(n, rng):
+    with using_curve(BLS381):
+        pts = [G1.random(rng) for _ in range(n)]
+        ks = [Scalar.random(rng) for _ in range(n)]
+        if n > 2:
+            ks[1] = Scalar(0)
+        assert msm_mod.msm(pts, ks) == msm_host(pts, ks)
+
+
+def test_msm_device_bn254(rng):
+    with using_curve(BN254):
+        pts = [G1.random(rng) for _ in range(50)]
+        ks = [Scalar.random(rng) for _ in range(50)]
+        assert msm_mod.msm(pts, ks) == msm_host(pts, ks)
+
+
+def test_sharded_msm_8dev(rng):
+    from bulletproofs_tpu.parallel import make_mesh, msm_sharded_jit
+    assert len(jax.devices()) >= 8
+    with using_curve(BLS381):
+        ctx = ej.CurveCtx(BLS381)
+        n = 64
+        pts = [G1.random(rng) for _ in range(n)]
+        ks = [Scalar.random(rng) for _ in range(n)]
+        P = ej.to_device_points(pts, ctx)
+        s = ej.to_device_scalars(ks, ctx)
+        mesh = make_mesh(jax.devices()[:8])
+        out = msm_sharded_jit(P, s, ctx, 4, mesh)
+        assert ej.from_device_points(out, ctx)[0] == msm_host(pts, ks)
+
+
+def test_graft_entry_singlechip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    ctx = ej.CurveCtx(BLS381)
+    assert out.shape == (3, ctx.fp.L, 1)
+
+
+def test_graft_entry_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
