@@ -8,9 +8,14 @@ Gadget convention (reference `gadgets/README.md:1-5`):
 """
 
 from . import bound_check
+from . import hamming_distance
 from . import helper_constraints
 from . import mimc
 from . import non_zero
+from . import poseidon_hash
+from . import randomizer
 from . import set_membership
 from . import set_membership_alt
 from . import set_non_membership
+from . import sparse_merkle_tree_4_ary
+from . import sparse_merkle_tree_8_ary

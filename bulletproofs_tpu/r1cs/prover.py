@@ -165,6 +165,47 @@ class Prover(ConstraintSystem):
         return ([Scalar(x) for x in wL], [Scalar(x) for x in wR],
                 [Scalar(x) for x in wO], [Scalar(x) for x in wV])
 
+    # ---- debug-only explicit weight-matrix path (`prover.rs:186-281`) ----
+    def get_weight_matrices(self):
+        """O(q*n) explicit WL/WR/WO/WV matrices; debugging cross-check for
+        the streaming `_flattened_constraints`.  Mirrors the reference's
+        last-write-wins per-row semantics (`prover.rs:188-231`)."""
+        n, m, q = len(self.a_L), len(self.v), len(self.constraints)
+        zero = Scalar.zero()
+        WL = [[zero] * n for _ in range(q)]
+        WR = [[zero] * n for _ in range(q)]
+        WO = [[zero] * n for _ in range(q)]
+        WV = [[zero] * m for _ in range(q)]
+        for r_i, lc in enumerate(self.constraints):
+            for var, coeff in lc.terms:
+                k = var.kind
+                if k == MULT_LEFT:
+                    WL[r_i][var.index] = coeff
+                elif k == MULT_RIGHT:
+                    WR[r_i][var.index] = coeff
+                elif k == MULT_OUTPUT:
+                    WO[r_i][var.index] = coeff
+                elif k == COMMITTED:
+                    WV[r_i][var.index] = coeff
+        return WL, WR, WO, WV
+
+    def flattened_constraints_elaborated(self, z):
+        """Debug: z-fold via the explicit matrices (`prover.rs:233-281`)."""
+        WL, WR, WO, WV = self.get_weight_matrices()
+        q = len(self.constraints)
+        z_exp = vandermonde_vector(z, q + 1)[1:]
+        minus_z_exp = [-e for e in z_exp]
+
+        def row_times_matrix(row, M, width):
+            return [inner_product(row, [M[r][c] for r in range(q)])
+                    for c in range(width)]
+
+        n, m = len(self.a_L), len(self.v)
+        return (row_times_matrix(z_exp, WL, n),
+                row_times_matrix(z_exp, WR, n),
+                row_times_matrix(z_exp, WO, n),
+                row_times_matrix(minus_z_exp, WV, m))
+
     def _create_randomized_constraints(self):
         """`prover.rs:300-319`"""
         self.pending_multiplier = None
