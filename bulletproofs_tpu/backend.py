@@ -48,21 +48,28 @@ def register_backend(name, backend):
 
 
 def set_backend(mode: str):
-    """'host', 'jax', or 'auto'."""
+    """'host', 'cpp', 'jax', or 'auto'."""
     global _mode
     _mode = mode
 
 
 def get_backend(size_hint: int = 1 << 30):
-    """Pick the backend for an op over vectors of length `size_hint`."""
+    """Pick the backend for an op over vectors of length `size_hint`.
+
+    auto: TPU device for long vectors (throughput), native C++ below the
+    device threshold (latency), exact Python ints as the last resort."""
     if _mode == "host":
         return _backends["host"]
+    if _mode == "cpp":
+        return _lazy_cpp() or _backends["host"]
     if _mode == "jax":
         return _lazy_jax() or _backends["host"]
     # auto
     if size_hint >= DEVICE_THRESHOLD:
-        return _lazy_jax() or _backends["host"]
-    return _backends["host"]
+        be = _lazy_jax()
+        if be is not None:
+            return be
+    return _lazy_cpp() or _backends["host"]
 
 
 def _lazy_jax():
@@ -73,3 +80,14 @@ def _lazy_jax():
         except Exception:
             _backends["jax"] = None
     return _backends["jax"]
+
+
+def _lazy_cpp():
+    if "cpp" not in _backends:
+        try:
+            from .ops.cpp_backend import CppBackend, get_lib
+            get_lib()
+            _backends["cpp"] = CppBackend()
+        except Exception:
+            _backends["cpp"] = None
+    return _backends["cpp"]

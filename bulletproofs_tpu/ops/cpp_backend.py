@@ -1,0 +1,163 @@
+"""ctypes bindings for the native host runtime (native/bulletproofs_native.cpp):
+64-bit-limb Montgomery field/EC kernels with a var-time Pippenger MSM.
+
+Backend role (see backend.py): "cpp" is the fast HOST path — it replaces the
+exact-but-slow Python-int backend for protocol-sized vectors that are too
+small to amortize a device dispatch, and it is the natural home for
+latency-sensitive verification.  The heavy-throughput path stays on TPU.
+
+The library is built on demand with g++ (no pip deps); the ABI passes every
+bignum as little-endian 64-bit limbs in plain (non-Montgomery) form.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..config import CurveParams, curve
+from .ec_host import G1
+from .field_host import Scalar
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "bulletproofs_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "build", "libbulletproofs_native.so")
+
+MAXL = 8
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _build():
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                   check=True)
+
+
+_lib = None
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        _lib = ctypes.CDLL(_SO)
+        for fn in ("bp_msm", "bp_fold", "bp_scalar_mul_batch",
+                   "bp_add_batch"):
+            getattr(_lib, fn).restype = None
+    return _lib
+
+
+def _limbs64(v: int, L: int):
+    return [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(L)]
+
+
+class _CurveABI:
+    """Packed parameter block per curve (layout documented in the .cpp)."""
+
+    _cache = {}
+
+    def __new__(cls, cv: CurveParams):
+        if cv.name in cls._cache:
+            return cls._cache[cv.name]
+        self = super().__new__(cls)
+        cls._cache[cv.name] = self
+        self.cv = cv
+        self.Lp = (cv.p.bit_length() + 63) // 64
+        self.Lr = (cv.r.bit_length() + 63) // 64
+        r64 = 1 << (64 * self.Lp)
+        params = [self.Lp, (-pow(cv.p, -1, 1 << 64)) % (1 << 64)]
+        params += _limbs64(cv.p, MAXL)
+        params += _limbs64((r64 * r64) % cv.p, MAXL)
+        params += [self.Lr, 3 * cv.b]
+        params += _limbs64(r64 % cv.p, MAXL)
+        self.params = np.array(params, dtype=np.uint64)
+        return self
+
+    # ---- converters ----
+    def points_to_buf(self, points):
+        n = len(points)
+        out = np.empty(n * 3 * self.Lp, dtype=np.uint64)
+        i = 0
+        for pt in points:
+            for coord in (pt.X, pt.Y, pt.Z):
+                for l in range(self.Lp):
+                    out[i] = (coord >> (64 * l)) & 0xFFFFFFFFFFFFFFFF
+                    i += 1
+        return out
+
+    def buf_to_points(self, buf, n):
+        out = []
+        Lp = self.Lp
+        for i in range(n):
+            base = i * 3 * Lp
+            coords = []
+            for cidx in range(3):
+                v = 0
+                for l in range(Lp - 1, -1, -1):
+                    v = (v << 64) | int(buf[base + cidx * Lp + l])
+                coords.append(v)
+            out.append(G1(coords[0], coords[1], coords[2], self.cv))
+        return out
+
+    def scalars_to_buf(self, scalars):
+        n = len(scalars)
+        out = np.empty(n * self.Lr, dtype=np.uint64)
+        i = 0
+        r = self.cv.r
+        for s in scalars:
+            v = (s.v if isinstance(s, Scalar) else int(s)) % r
+            for l in range(self.Lr):
+                out[i] = (v >> (64 * l)) & 0xFFFFFFFFFFFFFFFF
+                i += 1
+        return out
+
+
+def _ptr(arr):
+    return arr.ctypes.data_as(_u64p)
+
+
+class CppBackend:
+    name = "cpp"
+
+    def _abi(self, points):
+        return _CurveABI(points[0].cv if points else curve())
+
+    def msm(self, points, scalars):
+        if not points:
+            return G1.identity()
+        abi = self._abi(points)
+        lib = get_lib()
+        out = np.zeros(3 * abi.Lp, dtype=np.uint64)
+        lib.bp_msm(_ptr(abi.params), _ptr(abi.points_to_buf(points)),
+                   _ptr(abi.scalars_to_buf(scalars)),
+                   ctypes.c_uint64(len(points)), _ptr(out))
+        return abi.buf_to_points(out, 1)[0]
+
+    def fold_points(self, P_L, P_R, s1, s2):
+        n = len(P_L)
+        abi = self._abi(P_L)
+        lib = get_lib()
+        s1 = s1 if isinstance(s1, (list, tuple)) else [s1] * n
+        s2 = s2 if isinstance(s2, (list, tuple)) else [s2] * n
+        out = np.zeros(n * 3 * abi.Lp, dtype=np.uint64)
+        lib.bp_fold(_ptr(abi.params), _ptr(abi.points_to_buf(P_L)),
+                    _ptr(abi.points_to_buf(P_R)),
+                    _ptr(abi.scalars_to_buf(s1)),
+                    _ptr(abi.scalars_to_buf(s2)),
+                    ctypes.c_uint64(n), _ptr(out))
+        return abi.buf_to_points(out, n)
+
+    def scalar_mul_batch(self, points, scalars):
+        n = len(points)
+        abi = self._abi(points)
+        lib = get_lib()
+        out = np.zeros(n * 3 * abi.Lp, dtype=np.uint64)
+        lib.bp_scalar_mul_batch(_ptr(abi.params),
+                                _ptr(abi.points_to_buf(points)),
+                                _ptr(abi.scalars_to_buf(scalars)),
+                                ctypes.c_uint64(n), _ptr(out))
+        return abi.buf_to_points(out, n)

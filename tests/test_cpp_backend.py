@@ -1,0 +1,53 @@
+"""Native C++ backend cross-checks against the exact Python host backend."""
+
+import pytest
+
+from bulletproofs_tpu.config import BLS381, BN254, using_curve
+from bulletproofs_tpu.ops.ec_host import G1, msm_host
+from bulletproofs_tpu.ops.field_host import Scalar
+
+
+@pytest.fixture(scope="module")
+def cpp():
+    from bulletproofs_tpu.ops.cpp_backend import CppBackend, get_lib
+    get_lib()
+    return CppBackend()
+
+
+@pytest.mark.parametrize("cv", [BLS381, BN254], ids=lambda c: c.name)
+def test_cpp_ops_match_host(cpp, cv, rng):
+    with using_curve(cv):
+        n = 20
+        pts = [G1.random(rng) for _ in range(n - 1)] + [G1.identity()]
+        qts = [G1.random(rng) for _ in range(n)]
+        ks = [Scalar.random(rng) for _ in range(n)]
+        ks[3] = Scalar(0)
+        assert cpp.msm(pts, ks) == msm_host(pts, ks)
+        s1 = [Scalar.random(rng) for _ in range(n)]
+        s2 = [Scalar.random(rng) for _ in range(n)]
+        got = cpp.fold_points(pts, qts, s1, s2)
+        assert got == [p.binary_scalar_mul(q, a, b)
+                       for p, q, a, b in zip(pts, qts, s1, s2)]
+        got = cpp.scalar_mul_batch(pts, ks)
+        assert got == [p * k for p, k in zip(pts, ks)]
+
+
+def test_range_proof_on_cpp_backend(rng):
+    """Full prove/verify pipeline on the native backend."""
+    from bulletproofs_tpu import backend as backend_mod
+    from bulletproofs_tpu.models import bound_check
+    from bulletproofs_tpu.utils import get_generators
+
+    old = backend_mod._mode
+    backend_mod.set_backend("cpp")
+    try:
+        G = get_generators("G", 128)
+        H = get_generators("H", 128)
+        g = G1.from_msg_hash(b"g")
+        h = G1.from_msg_hash(b"h")
+        proof, comms = bound_check.gen_proof_of_bounded_num(
+            57, None, 10, 100, 32, rng, b"BoundCheckCpp", g, h, G, H)
+        bound_check.verify_proof_of_bounded_num(
+            10, 100, 32, proof, comms, b"BoundCheckCpp", g, h, G, H)
+    finally:
+        backend_mod.set_backend(old)
