@@ -221,6 +221,14 @@ class Prover(ConstraintSystem):
 
     def prove(self, G, H) -> R1CSProof:
         """`prover.rs:322-593`"""
+        from ..utils.metrics import metrics
+        metrics.incr("prove_calls")
+        metrics.incr("multipliers", self.num_multipliers())
+        metrics.incr("constraints", self.num_constraints())
+        with metrics.span("prove"):
+            return self._prove(G, H)
+
+    def _prove(self, G, H) -> R1CSProof:
         tr = self.transcript
         rng = self.rng
         tr.append_u64(b"m", len(self.v))

@@ -130,6 +130,12 @@ class Verifier(ConstraintSystem):
 
     def verify(self, proof, g, h, G, H):
         """`verifier.rs:267-457`"""
+        from ..utils.metrics import metrics
+        metrics.incr("verify_calls")
+        with metrics.span("verify"):
+            return self._verify(proof, g, h, G, H)
+
+    def _verify(self, proof, g, h, G, H):
         tr = self.transcript
         tr.append_u64(b"m", len(self.V))
 

@@ -13,7 +13,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # low scan-unroll: fast XLA-CPU compiles (TPU runs use high unroll)
 # host backend for protocol round-trips (device kernels are
 # covered explicitly in test_device_ops / test_backend_jax)
-os.environ.setdefault("BP_BACKEND", "host")
+os.environ.setdefault("BP_BACKEND", "cpp")
 os.environ.setdefault("BP_UNROLL", "4")
 os.environ.setdefault("BP_CIOS_UNROLL", "1")
 flags = os.environ.get("XLA_FLAGS", "")
