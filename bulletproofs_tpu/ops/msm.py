@@ -95,14 +95,27 @@ def _round_plan(digits, B):
 # Phase 2: bucket accumulation (the EC hot loop)
 # ---------------------------------------------------------------------------
 
-def bucket_accumulate(points, digits, ctx: CurveCtx, c: int):
-    """points (3, L, n) Montgomery, digits (W, n) -> buckets (3, L, W, B)."""
+def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None):
+    """points (3, L, n) Montgomery, digits (W, n) -> buckets (3, L, W, B).
+
+    n_rounds: STATIC round count when known (top-level MSM computes
+    max-occupancy on the host and rounds up — a dynamic while_loop bound
+    defeats XLA's loop pipelining, measured ~19x slower per round).  When
+    None (e.g. inside shard_map where a host sync is impossible) falls back
+    to the dynamic bound.
+    """
     B = 1 << c
     W = digits.shape[0]
+    L = points.shape[1]
     rank_ord, ids_ord, dig_ord, max_rank = _round_plan(digits, B)
     buckets0 = ctx.identity_like((W, B))
     buckets_iota = jnp.arange(B, dtype=jnp.int32)
     identity = ctx.identity
+    # row-major point table: per-round random access gathers ROWS (major
+    # axis); gathering along the minor/lane axis lowers to O(n)-sized work
+    # per round on TPU
+    points_rows = jnp.transpose(points, (2, 0, 1)).reshape(
+        points.shape[2], 3 * L)
 
     def one_window(rank_row, ids_row, dig_row, t):
         """Indices (pid, found) for round t of one window — gathers only."""
@@ -121,12 +134,24 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int):
     def body(t, buckets):
         pid, found = jax.vmap(one_window, in_axes=(0, 0, 0, None))(
             rank_ord, ids_ord, dig_ord, t)        # (W, B) each
-        pts = points[:, :, pid]                   # (3, L, W, B) gather
+        rows = points_rows[pid.reshape(-1)]       # (W*B, 3L) row gather
+        pts = rows.reshape(W, B, 3, L).transpose(2, 3, 0, 1)
         delta = jnp.where(found[None, None], pts,
                           identity.reshape(3, -1, 1, 1))
         return ec_add(buckets, delta, ctx)
 
-    return jax.lax.fori_loop(0, max_rank + 1, body, buckets0)
+    bound = n_rounds if n_rounds is not None else max_rank + 1
+    return jax.lax.fori_loop(0, bound, body, buckets0)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _max_occupancy(scalars, ctx: CurveCtx, c: int):
+    """Max bucket occupancy over all windows (tiny; synced to host by the
+    MSM driver to fix the round count statically)."""
+    W = -(-ctx.cv.fr.n_bits // c)
+    digits = fj.get_digits(scalars, c, W)
+    _, _, _, max_rank = _round_plan(digits, 1 << c)
+    return max_rank + 1
 
 
 # ---------------------------------------------------------------------------
@@ -194,14 +219,24 @@ def combine_buckets(buckets, ctx: CurveCtx, c: int):
 # Top level
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(2, 3))
-def msm_device(points, scalars, ctx: CurveCtx, c: int):
-    """points (3, L, n) Montgomery, scalars (Lr, n) plain limbs -> (3, L, 1)."""
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
-    buckets = bucket_accumulate(points, digits, ctx, c)
+    buckets = bucket_accumulate(points, digits, ctx, c, n_rounds)
     return combine_buckets(buckets, ctx, c)
+
+
+def msm_device(points, scalars, ctx: CurveCtx, c: int):
+    """points (3, L, n) Montgomery, scalars (Lr, n) plain limbs -> (3, L, 1).
+
+    Two-step: a tiny jitted pass computes the max bucket occupancy, the host
+    rounds it up to a multiple of 8 (so the handful of distinct values hit
+    the jit cache), and the main kernel runs with a STATIC round count."""
+    rounds = int(_max_occupancy(scalars, ctx, c))
+    rounds = (rounds + 7) // 8 * 8
+    return _msm_device_jit(points, scalars, ctx, c, rounds)
 
 
 def msm(points, scalars, cv=None):

@@ -50,22 +50,21 @@ def _allreduce_buckets(buckets, ctx, axis):
     return buckets
 
 
-def msm_sharded(points, scalars, ctx: CurveCtx, c: int, axis=AXIS):
+def msm_sharded(points, scalars, ctx: CurveCtx, c: int, axis=AXIS,
+                n_rounds=None):
     """shard_map body: points (3, L, n_local), scalars (Lr, n_local) are the
     LOCAL shards; returns the replicated (3, L, 1) total."""
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
-    buckets = msm_mod.bucket_accumulate(points, digits, ctx, c)
+    buckets = msm_mod.bucket_accumulate(points, digits, ctx, c, n_rounds)
     buckets = _allreduce_buckets(buckets, ctx, axis)
     return msm_mod.combine_buckets(buckets, ctx, c)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
-    """points (3, L, n) / scalars (Lr, n) global arrays, n divisible by the
-    mesh size; output is the replicated MSM total (3, L, 1)."""
-    body = partial(msm_sharded, ctx=ctx, c=c, axis=AXIS)
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _msm_sharded_jit(points, scalars, ctx, c, mesh, n_rounds):
+    body = partial(msm_sharded, ctx=ctx, c=c, axis=AXIS, n_rounds=n_rounds)
     return jax.shard_map(
         body,
         mesh=mesh,
@@ -73,3 +72,21 @@ def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
         out_specs=P(None, None, None),
         check_vma=False,
     )(points, scalars)
+
+
+def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
+    """points (3, L, n) / scalars (Lr, n) global arrays, n divisible by the
+    mesh size; output is the replicated MSM total (3, L, 1).
+
+    The per-shard bucket round count is fixed STATICALLY (dynamic while
+    bounds defeat XLA loop pipelining): the max occupancy over all shards is
+    computed with a tiny jitted pass and rounded up to a multiple of 8."""
+    n = scalars.shape[-1]
+    d = mesh.devices.size
+    ns = n // d
+    rounds = 0
+    for k in range(d):
+        rounds = max(rounds, int(msm_mod._max_occupancy(
+            scalars[:, k * ns:(k + 1) * ns], ctx, c)))
+    rounds = (rounds + 7) // 8 * 8
+    return _msm_sharded_jit(points, scalars, ctx, c, mesh, rounds)
