@@ -48,7 +48,9 @@ def main():
         P = ej.to_device_points(pts, ctx)
         npr = np.random.RandomState(0)
         sl = npr.randint(0, 1 << 16, size=(ctx.fr.L, N)).astype(np.uint32)
-        sl[ctx.fr.L - 1] &= 0x3FF          # < 2^250 < r
+        # full-range scalars below r: cap the top 16-bit limb under
+        # r >> 240 = 0x73ED so every window has realistic digit entropy
+        sl[ctx.fr.L - 1] %= 0x73ED
         s = jnp.asarray(sl)
 
         t0 = time.time()

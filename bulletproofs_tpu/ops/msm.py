@@ -55,103 +55,109 @@ def pick_window(n: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Phase 1: integer-only round plan (sorts, ranks — no EC math)
+# Phase 2: bucket accumulation (the EC hot loop)
 # ---------------------------------------------------------------------------
 
-def _round_plan(digits, B):
-    """digits (W, n) int32 -> round-major (rank_ord, ids_ord, dig_ord) each
-    (W, n+B) with a sentinel tail, plus max_rank (traced scalar).
+def _slot_grid(digits, B, R):
+    """Precompute the full round plan as a dense grid: grid[t, w, b] = index
+    of the point that lands in bucket b of window w during round t (or n if
+    that slot is empty), shape (R, W, B) int32 + found mask.
 
-    rank of a point within its bucket = its round index; within one round all
-    active points of a window hit distinct buckets.  The round-major order is
-    sorted by (rank, digit) so each round's run is digit-sorted: the bucket
-    phase can then locate every bucket's point with a vectorized binary
-    search + GATHER — no EC-payload scatter anywhere (XLA scatters serialize
-    on TPU; gathers are fast).
+    Built from two sorts and NO scatters (TPU scatters serialize) and NO
+    per-round dynamic slicing (slicing big lane-major arrays at traced
+    offsets lowers to O(n) work per round):
+
+    1. per point: slot key = occupancy-rank * B + digit
+    2. merge-sort real points with one dummy entry per slot
+       (key doubled, dummies odd -> stable real-before-dummy)
+    3. keep the first element of every key (real if present), compact the
+       kept elements to the front with a second sort: the result is
+       slot-ordered, exactly R*B long -> reshape.
     """
     W, n = digits.shape
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
     sorted_d, perm = jax.lax.sort_key_val(digits, iota, dimension=-1)
     prev = jnp.concatenate(
         [jnp.full((W, 1), -1, jnp.int32), sorted_d[:, :-1]], axis=1)
-    is_start = sorted_d != prev
     start_pos = jax.lax.cummax(
-        jnp.where(is_start, iota, 0), axis=1)
-    rank = iota - start_pos                       # occupancy rank, sorted order
-    max_rank = jnp.max(rank)
-    # round-major with digit as secondary key
-    rank_ord, dig_ord, ids_ord = jax.lax.sort(
-        (rank, sorted_d, perm), dimension=-1, num_keys=2)
-    # sentinel tail so dynamic slices of width B never go OOB
-    pad_r = jnp.full((W, B), n + 1, jnp.int32)
-    pad_z = jnp.zeros((W, B), jnp.int32)
-    return (jnp.concatenate([rank_ord, pad_r], axis=1),
-            jnp.concatenate([ids_ord, pad_z], axis=1),
-            jnp.concatenate([dig_ord, pad_z], axis=1),
-            max_rank)
+        jnp.where(sorted_d != prev, iota, 0), axis=1)
+    rank = iota - start_pos
 
+    # digit-0 points contribute weight 0: never schedule them (their key
+    # sorts past every dummy); rank/round pressure comes from b != 0 only.
+    # rank >= R is also sentineled so an undersized R (caller contract
+    # violation) can't alias valid slots — callers compute R from the true
+    # max occupancy.
+    real_key = jnp.where((sorted_d == 0) | (rank >= R),
+                         jnp.int32(2 * (R * B + 1)),
+                         (rank * B + sorted_d) * 2)
+    dummy_key = jnp.broadcast_to(
+        jnp.arange(R * B, dtype=jnp.int32) * 2 + 1, (W, R * B))
+    dummy_ids = jnp.full((W, R * B), n, jnp.int32)
+    k = jnp.concatenate([real_key, dummy_key], axis=1)
+    v = jnp.concatenate([perm, dummy_ids], axis=1)
+    k, v = jax.lax.sort((k, v), dimension=-1, num_keys=1)
 
-# ---------------------------------------------------------------------------
-# Phase 2: bucket accumulation (the EC hot loop)
-# ---------------------------------------------------------------------------
+    slot = k >> 1
+    prev_slot = jnp.concatenate(
+        [jnp.full((W, 1), -1, jnp.int32), slot[:, :-1]], axis=1)
+    first = slot != prev_slot
+    total = k.shape[1]
+    pos_iota = jnp.broadcast_to(jnp.arange(total, dtype=jnp.int32),
+                                (W, total))
+    compact_key = jnp.where(first, pos_iota, total)
+    _, grid = jax.lax.sort((compact_key, v), dimension=-1, num_keys=1)
+    grid = grid[:, :R * B].reshape(W, R, B).transpose(1, 0, 2)
+    return grid, grid != n                               # (R, W, B)
+
 
 def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None):
     """points (3, L, n) Montgomery, digits (W, n) -> buckets (3, L, W, B).
 
-    n_rounds: STATIC round count when known (top-level MSM computes
-    max-occupancy on the host and rounds up — a dynamic while_loop bound
-    defeats XLA's loop pipelining, measured ~19x slower per round).  When
-    None (e.g. inside shard_map where a host sync is impossible) falls back
-    to the dynamic bound.
+    n_rounds: STATIC round count (the top-level MSM computes max occupancy on
+    the host and rounds up).  Static bounds + a precomputed slot grid keep
+    every round O(W*B): one row index on the grid's major axis, one row
+    gather from the point table, one batched complete EC add.
     """
+    assert n_rounds is not None, \
+        "bucket_accumulate requires a static round count"
     B = 1 << c
     W = digits.shape[0]
     L = points.shape[1]
-    rank_ord, ids_ord, dig_ord, max_rank = _round_plan(digits, B)
+    n = points.shape[2]
+    grid, found = _slot_grid(digits, B, n_rounds)
     buckets0 = ctx.identity_like((W, B))
-    buckets_iota = jnp.arange(B, dtype=jnp.int32)
     identity = ctx.identity
-    # row-major point table: per-round random access gathers ROWS (major
-    # axis); gathering along the minor/lane axis lowers to O(n)-sized work
-    # per round on TPU
-    points_rows = jnp.transpose(points, (2, 0, 1)).reshape(
-        points.shape[2], 3 * L)
-
-    def one_window(rank_row, ids_row, dig_row, t):
-        """Indices (pid, found) for round t of one window — gathers only."""
-        s = jnp.searchsorted(rank_row, t, side="left")
-        r = jax.lax.dynamic_slice_in_dim(rank_row, s, B)
-        ids = jax.lax.dynamic_slice_in_dim(ids_row, s, B)
-        dig = jax.lax.dynamic_slice_in_dim(dig_row, s, B)
-        # mask entries beyond this round with an impossible digit, then give
-        # every bucket b the position of its (unique, digit-sorted) point
-        dq = jnp.where(r == t, dig, B + 1)
-        pos = jnp.minimum(jnp.searchsorted(dq, buckets_iota, side="left"),
-                          B - 1)
-        found = dq[pos] == buckets_iota
-        return ids[pos], found
+    points_rows = jnp.transpose(points, (2, 0, 1)).reshape(n, 3 * L)
 
     def body(t, buckets):
-        pid, found = jax.vmap(one_window, in_axes=(0, 0, 0, None))(
-            rank_ord, ids_ord, dig_ord, t)        # (W, B) each
-        rows = points_rows[pid.reshape(-1)]       # (W*B, 3L) row gather
+        pid = grid[t]                              # (W, B), major-axis index
+        ok = found[t]
+        rows = points_rows[jnp.minimum(pid, n - 1).reshape(-1)]
         pts = rows.reshape(W, B, 3, L).transpose(2, 3, 0, 1)
-        delta = jnp.where(found[None, None], pts,
+        delta = jnp.where(ok[None, None], pts,
                           identity.reshape(3, -1, 1, 1))
         return ec_add(buckets, delta, ctx)
 
-    bound = n_rounds if n_rounds is not None else max_rank + 1
-    return jax.lax.fori_loop(0, bound, body, buckets0)
+    return jax.lax.fori_loop(0, n_rounds, body, buckets0)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _max_occupancy(scalars, ctx: CurveCtx, c: int):
-    """Max bucket occupancy over all windows (tiny; synced to host by the
-    MSM driver to fix the round count statically)."""
+    """Max NON-ZERO bucket occupancy over all windows (tiny; synced to host
+    by the MSM driver to fix the round count statically).  Digit-0 points
+    are never scheduled (weight 0), so they don't add rounds."""
     W = -(-ctx.cv.fr.n_bits // c)
     digits = fj.get_digits(scalars, c, W)
-    _, _, _, max_rank = _round_plan(digits, 1 << c)
-    return max_rank + 1
+    n = digits.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
+    sorted_d, _ = jax.lax.sort_key_val(digits, iota, dimension=-1)
+    prev = jnp.concatenate(
+        [jnp.full((W, 1), -1, jnp.int32), sorted_d[:, :-1]], axis=1)
+    start_pos = jax.lax.cummax(
+        jnp.where(sorted_d != prev, iota, 0), axis=1)
+    rank = jnp.where(sorted_d == 0, 0, iota - start_pos)
+    return jnp.max(rank) + 1
 
 
 # ---------------------------------------------------------------------------

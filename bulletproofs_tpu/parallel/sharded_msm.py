@@ -51,7 +51,7 @@ def _allreduce_buckets(buckets, ctx, axis):
 
 
 def msm_sharded(points, scalars, ctx: CurveCtx, c: int, axis=AXIS,
-                n_rounds=None):
+                n_rounds=16):
     """shard_map body: points (3, L, n_local), scalars (Lr, n_local) are the
     LOCAL shards; returns the replicated (3, L, 1) total."""
     n_bits = ctx.cv.fr.n_bits
