@@ -20,7 +20,7 @@ import time
 
 BASELINE_MSM_POINTS_PER_S = 30_000.0   # documented estimate, see module doc
 N = 1 << 16
-WINDOW = 10
+WINDOW = 8
 REPS = 3
 
 

@@ -42,9 +42,8 @@ def pick_window(n: int) -> int:
     """Even window size.  Larger c costs more combine work (~2*2^c/window)
     but fewer sequential rounds (round depth = max bucket occupancy
     ~ n/2^c * (1 + tail)); on TPU the per-round overhead makes shallow-and-
-    wide win: keep occupancy around 32-64."""
-    if n >= 32768:
-        return 10
+    wide win, but past B=256 the slot-grid and combine overheads regress
+    (measured on v5e: c=8 beats c=10 by 11x at n=2^16)."""
     if n >= 4096:
         return 8
     if n >= 512:
