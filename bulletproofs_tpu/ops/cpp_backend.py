@@ -77,43 +77,39 @@ class _CurveABI:
         self.params = np.array(params, dtype=np.uint64)
         return self
 
-    # ---- converters ----
+    # ---- converters (int.to_bytes/from_bytes run at C speed) ----
     def points_to_buf(self, points):
-        n = len(points)
-        out = np.empty(n * 3 * self.Lp, dtype=np.uint64)
+        nb = self.Lp * 8
+        buf = bytearray(len(points) * 3 * nb)
         i = 0
         for pt in points:
             for coord in (pt.X, pt.Y, pt.Z):
-                for l in range(self.Lp):
-                    out[i] = (coord >> (64 * l)) & 0xFFFFFFFFFFFFFFFF
-                    i += 1
-        return out
+                buf[i:i + nb] = coord.to_bytes(nb, "little")
+                i += nb
+        return np.frombuffer(bytes(buf), dtype=np.uint64)
 
     def buf_to_points(self, buf, n):
+        raw = np.ascontiguousarray(buf).tobytes()
+        nb = self.Lp * 8
         out = []
-        Lp = self.Lp
         for i in range(n):
-            base = i * 3 * Lp
-            coords = []
-            for cidx in range(3):
-                v = 0
-                for l in range(Lp - 1, -1, -1):
-                    v = (v << 64) | int(buf[base + cidx * Lp + l])
-                coords.append(v)
-            out.append(G1(coords[0], coords[1], coords[2], self.cv))
+            base = i * 3 * nb
+            X = int.from_bytes(raw[base:base + nb], "little")
+            Y = int.from_bytes(raw[base + nb:base + 2 * nb], "little")
+            Z = int.from_bytes(raw[base + 2 * nb:base + 3 * nb], "little")
+            out.append(G1(X, Y, Z, self.cv))
         return out
 
     def scalars_to_buf(self, scalars):
-        n = len(scalars)
-        out = np.empty(n * self.Lr, dtype=np.uint64)
-        i = 0
+        nb = self.Lr * 8
         r = self.cv.r
+        buf = bytearray(len(scalars) * nb)
+        i = 0
         for s in scalars:
             v = (s.v if isinstance(s, Scalar) else int(s)) % r
-            for l in range(self.Lr):
-                out[i] = (v >> (64 * l)) & 0xFFFFFFFFFFFFFFFF
-                i += 1
-        return out
+            buf[i:i + nb] = v.to_bytes(nb, "little")
+            i += nb
+        return np.frombuffer(bytes(buf), dtype=np.uint64)
 
 
 def _ptr(arr):
