@@ -41,6 +41,14 @@ def create_ipp(transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec,
     assert len(H_vec) == len(a_vec) == len(b_vec) == n
     assert len(G_factors) == len(H_factors) == n
 
+    # device-resident fast path: all O(n) state stays on the TPU across
+    # rounds, one (L, R) transfer per round for the transcript
+    if n > 1 and getattr(get_backend(n), "name", "") == "jax":
+        from .ops.ipp_device import create_ipp_device
+        L_vec, R_vec, a_fin, b_fin = create_ipp_device(
+            transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec)
+        return InnerProductArgumentProof(L=L_vec, R=R_vec, a=a_fin, b=b_fin)
+
     G, H = list(G_vec), list(H_vec)
     a, b = list(a_vec), list(b_vec)
 
