@@ -67,12 +67,32 @@ def main():
         med = sorted(times)[len(times) // 2]
         pps = N / med
 
+        # BASELINE config #1 extras: single 64-bit range proof end to end
+        # on the auto backend (native C++ below the device threshold)
+        from bulletproofs_tpu.models import bound_check
+        from bulletproofs_tpu.utils import get_generators
+        Gg = get_generators("G", 256)
+        Hh = get_generators("H", 256)
+        g1 = G1.from_msg_hash(b"g")
+        h1 = G1.from_msg_hash(b"h")
+        t0 = time.time()
+        proof, comms = bound_check.gen_proof_of_bounded_num(
+            (1 << 62) + 5, None, 0, (1 << 64) - 1, 64, rnd, b"bench",
+            g1, h1, Gg, Hh)
+        prove_s = time.time() - t0
+        t0 = time.time()
+        bound_check.verify_proof_of_bounded_num(
+            0, (1 << 64) - 1, 64, proof, comms, b"bench", g1, h1, Gg, Hh)
+        verify_s = time.time() - t0
+
         print(json.dumps({
             "metric": "msm_points_per_s_n65536_bls381",
             "value": round(pps, 1),
             "unit": "points/s",
             "vs_baseline": round(pps / BASELINE_MSM_POINTS_PER_S, 2),
             "msm_seconds_p50": round(med, 4),
+            "range_proof_64bit_prove_s": round(prove_s, 3),
+            "range_proof_64bit_verify_s": round(verify_s, 3),
             "compile_seconds": round(compile_s, 1),
             "n": N,
             "window_bits": WINDOW,

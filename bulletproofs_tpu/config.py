@@ -14,7 +14,7 @@ widest exact integer multiply available on the TPU VPU.
 """
 
 from dataclasses import dataclass, field
-from functools import lru_cache
+
 
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1

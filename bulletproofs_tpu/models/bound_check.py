@@ -13,7 +13,7 @@ Gadget convention (reference `gadgets/README.md:1-5`):
 
 from ..ops.field_host import Scalar
 from ..r1cs import Prover, Verifier
-from ..r1cs.linear_combination import AllocatedQuantity, LinearCombination
+from ..r1cs.linear_combination import AllocatedQuantity
 from ..transcript import ProofTranscript
 from ..utils.errors import check_for_randomness_or_rng
 from .helper_constraints import constrain_lc_with_scalar

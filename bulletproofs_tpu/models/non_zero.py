@@ -3,7 +3,7 @@ prove a committed value is != 0 by also committing its inverse."""
 
 from ..ops.field_host import Scalar
 from ..r1cs import Prover, Verifier
-from ..r1cs.linear_combination import AllocatedQuantity
+
 from ..transcript import ProofTranscript
 from ..utils.errors import check_for_randomness_or_rng
 from .helper_constraints.non_zero import is_nonzero_gadget

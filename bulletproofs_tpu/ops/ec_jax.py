@@ -16,7 +16,7 @@ Completeness matters on TPU: one formula for add/double/identity means no
 data-dependent branches anywhere, every op is a dense vector op.
 """
 
-from functools import partial
+
 
 import numpy as np
 
@@ -44,7 +44,8 @@ class CurveCtx:
         self.b3 = 3 * cv.b
         L = self.fp.L
         # identity (0 : 1 : 0) in Montgomery form, shape (3, L, 1)
-        self.identity = jnp.stack([
+        # (numpy so it traces as a literal — see FieldCtx)
+        self.identity = np.stack([
             self.fp.zero, self.fp.one_m, self.fp.zero], axis=0)
         return self
 

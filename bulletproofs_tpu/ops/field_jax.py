@@ -93,16 +93,18 @@ class FieldCtx:
         self.mod_int = fp.modulus
         # -modulus^-1 mod R (full-width Montgomery constant)
         n_prime = (-pow(fp.modulus, -1, fp.mont_r)) % fp.mont_r
-        self.mod = jnp.asarray(ints_to_limbs([fp.modulus], L))
-        self.n_prime = jnp.asarray(ints_to_limbs([n_prime], L))
-        self.r2 = jnp.asarray(ints_to_limbs([fp.mont_r2], L))
-        self.one_m = jnp.asarray(ints_to_limbs([fp.mont_one], L))
-        self.zero = jnp.asarray(ints_to_limbs([0], L))
+        # constants are NUMPY arrays: they trace as literals, so the same
+        # field code runs under jit, vmap, shard_map AND inside Pallas
+        # kernels (which cannot capture device arrays)
+        self.mod = ints_to_limbs([fp.modulus], L)
+        self.n_prime = ints_to_limbs([n_prime], L)
+        self.r2 = ints_to_limbs([fp.mont_r2], L)
+        self.one_m = ints_to_limbs([fp.mont_one], L)
+        self.zero = ints_to_limbs([0], L)
         # exponent bits for Fermat inversion, LSB-first (static length)
         e = fp.modulus - 2
-        self.inv_bits = jnp.asarray(
-            np.array([(e >> i) & 1 for i in range(fp.n_bits)],
-                     dtype=np.uint32))
+        self.inv_bits = np.array([(e >> i) & 1 for i in range(fp.n_bits)],
+                                 dtype=np.uint32)
         return self
 
     # -- convenience: host ints <-> device Montgomery form --
@@ -154,6 +156,17 @@ def _carry_norm(cols, out_len):
     elif K > out_len:
         cols = cols[:out_len]
 
+    if _UNROLL >= cols.shape[0]:
+        # fully unrolled python loop: no scan primitive, so this path also
+        # lowers inside Pallas/Mosaic kernels (scan xs/ys unsupported there)
+        outs = []
+        carry = jnp.zeros_like(cols[0])
+        for k in range(cols.shape[0]):
+            s = cols[k] + carry
+            outs.append(s & MASK)
+            carry = s >> LIMB_BITS
+        return jnp.stack(outs, axis=0)
+
     def body(carry, col):
         s = col + carry
         return s >> LIMB_BITS, s & MASK
@@ -182,6 +195,22 @@ def _carry_sub_norm(cols, m, out_len):
     mb = jnp.broadcast_to(_align(mm, cols)[0], cols.shape)
     base = np.uint32(1 << LIMB_BITS)
 
+    if _UNROLL >= cols.shape[0]:
+        norm_l, diff_l = [], []
+        carry = jnp.zeros_like(cols[0])
+        borrow = jnp.zeros_like(cols[0])
+        for k in range(cols.shape[0]):
+            s = cols[k] + carry
+            limb = s & MASK
+            t = limb + base - mb[k] - borrow
+            norm_l.append(limb)
+            diff_l.append(t & MASK)
+            carry = s >> LIMB_BITS
+            borrow = 1 - (t >> LIMB_BITS)
+        norm = jnp.stack(norm_l, axis=0)
+        diff = jnp.stack(diff_l, axis=0)
+        return jnp.where((borrow == 0)[None], diff, norm)
+
     def body(c, xs):
         col, mk = xs
         carry, borrow = c
@@ -204,6 +233,16 @@ def _sub_if_ge(x, m):
             [m, jnp.zeros((Lx - m.shape[0],) + m.shape[1:], U32)], axis=0)
     base = np.uint32(1 << LIMB_BITS)
     mb = jnp.broadcast_to(_align(m, x)[0], x.shape)
+
+    if _UNROLL >= Lx:
+        outs = []
+        borrow = jnp.zeros_like(x[0])
+        for k in range(Lx):
+            t = x[k] + base - mb[k] - borrow
+            outs.append(t & MASK)
+            borrow = 1 - (t >> LIMB_BITS)
+        diff = jnp.stack(outs, axis=0)
+        return jnp.where((borrow == 0)[None], diff, x)
 
     def body(borrow, xs):
         xk, mk = xs
@@ -272,6 +311,23 @@ def sub_mod(a, b, ctx: FieldCtx):
             a, a.shape[:1] + jnp.broadcast_shapes(a.shape[1:], b.shape[1:]))
     modb = jnp.broadcast_to(_align(ctx.mod, a)[0], a.shape)
 
+    bb2 = jnp.broadcast_to(b, a.shape)
+    if _UNROLL >= a.shape[0]:
+        diff_l, fixed_l = [], []
+        borrow = jnp.zeros_like(a[0])
+        carry = jnp.zeros_like(a[0])
+        for k in range(a.shape[0]):
+            t = a[k] + base - bb2[k] - borrow
+            d = t & MASK
+            borrow = 1 - (t >> LIMB_BITS)
+            s = d + modb[k] + carry
+            carry = s >> LIMB_BITS
+            diff_l.append(d)
+            fixed_l.append(s & MASK)
+        diff = jnp.stack(diff_l, axis=0)
+        fixed = jnp.stack(fixed_l, axis=0)
+        return jnp.where((borrow == 1)[None], fixed, diff)
+
     def body(c, xs):
         ak, bk, mk = xs
         borrow, carry = c
@@ -283,7 +339,7 @@ def sub_mod(a, b, ctx: FieldCtx):
 
     (borrow, _), (diff, fixed) = jax.lax.scan(
         body, (jnp.zeros_like(a[0]), jnp.zeros_like(a[0])),
-        (a, jnp.broadcast_to(b, a.shape), modb), unroll=_UNROLL)
+        (a, bb2, modb), unroll=_UNROLL)
     return jnp.where((borrow == 1)[None], fixed, diff)
 
 
@@ -310,18 +366,29 @@ def mont_mul(a, b, ctx: FieldCtx):
     # kept as RELAXED columns (< 4L*2^16 + carries, safely < 2^32) and shifted
     # one limb right per iteration.  t[0]'s low 16 bits are always exact
     # (carries only flow upward), which is all m needs.
+    zero_row = jnp.zeros((1,) + batch, U32)
+
     def body(t, a_i):
+        # scatter-free column updates (Mosaic has no scatter-add; concat
+        # adds lower to plain vector ops everywhere)
         p = a_i * bb                                   # (L, batch) exact
-        t = t.at[:L].add(p & MASK).at[1:].add(p >> LIMB_BITS)
+        t = (t + jnp.concatenate([p & MASK, zero_row], axis=0)
+               + jnp.concatenate([zero_row, p >> LIMB_BITS], axis=0))
         m = ((t[0] & MASK) * n0inv) & MASK
         q = m * modb
-        t = t.at[:L].add(q & MASK).at[1:].add(q >> LIMB_BITS)
+        t = (t + jnp.concatenate([q & MASK, zero_row], axis=0)
+               + jnp.concatenate([zero_row, q >> LIMB_BITS], axis=0))
         carry0 = t[0] >> LIMB_BITS                     # t[0] == 0 mod 2^16
-        t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
-        t = t.at[0].add(carry0)
+        t = jnp.concatenate([(t[1] + carry0)[None], t[2:], zero_row],
+                            axis=0)
         return t, None
 
-    t, _ = jax.lax.scan(body, t0, a, unroll=_CIOS_UNROLL)
+    if _CIOS_UNROLL >= L:
+        t = t0
+        for i in range(L):
+            t, _ = body(t, a[i])
+    else:
+        t, _ = jax.lax.scan(body, t0, a, unroll=_CIOS_UNROLL)
     # t holds (a*b + m*N)/R < 2p as relaxed columns
     return _carry_sub_norm(t, ctx.mod, L + 1)[:L]
 

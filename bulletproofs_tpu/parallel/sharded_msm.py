@@ -21,7 +21,7 @@ from functools import partial
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import field_jax as fj
