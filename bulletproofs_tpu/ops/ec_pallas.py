@@ -1,15 +1,20 @@
-"""Pallas (Mosaic) fused kernels for the EC hot ops.
+"""Pallas (Mosaic) fused kernel for the EC hot op: complete G1 addition.
 
 The XLA path (ops/ec_jax.py) reaches ~20% of VPU integer peak: every scan
-stage materializes its operands. These kernels run the COMPLETE EC addition
-(two stacked 6-wide Montgomery multiplies + add/sub chains) as one Mosaic
-kernel with all intermediates resident in VMEM, tiled over the batch axis.
+stage materializes its operands in HBM. This kernel runs the COMPLETE EC
+addition as one Mosaic kernel with all intermediates resident in VMEM,
+tiled over the batch axis.
 
-The arithmetic is literally the shared field_jax/ec_jax code: inside a
-Pallas kernel the loaded tiles are ordinary traced arrays, so the XLA and
-Pallas paths share one implementation of the group law.  Pallas kernels may
-not capture array constants, so the modulus limbs are threaded in as a
-(broadcast) kernel input through a tiny ctx shim.
+Mosaic constraints shaped this variant:
+- no lax.scan with extensive args and no scatter: the field layer's fully
+  unrolled, concat-based paths are used (BP_CIOS_UNROLL >= n_limbs);
+- every tensor is strictly 2-D (limbs x lanes): coordinates are separate
+  refs and the 12 field multiplies are issued unstacked (the 6-wide stacked
+  form creates 3-D intermediates that ICE Mosaic's layout inference);
+- array constants can't be captured: the modulus limbs arrive as an input.
+
+STATUS (round 1): experimental, opt-in via `ec_add_pallas`; not wired into
+default paths pending a perf win over the XLA pipeline (NOTES.md).
 """
 
 from functools import partial
@@ -20,23 +25,50 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import ec_jax as ej
+from .field_jax import add_mod, mont_mul, mul_small, sub_mod
 
 # batch tile (lanes); multiple of 128
 TILE = 512
 
 
 def _shim(ctx, mod):
-    """FieldCtx/CurveCtx stand-in whose constants are traced kernel inputs."""
-    f = SimpleNamespace(L=ctx.fp.L, mod=mod, fp=ctx.fp.fp,
-                        mod_int=ctx.fp.mod_int)
-    return SimpleNamespace(fp=f, b3=ctx.b3, cv=ctx.cv)
+    """FieldCtx stand-in whose modulus is a traced kernel input."""
+    return SimpleNamespace(L=ctx.fp.L, mod=mod, fp=ctx.fp.fp,
+                           mod_int=ctx.fp.mod_int)
+
+
+def _ec_add_2d(f, b3, X1, Y1, Z1, X2, Y2, Z2):
+    """RCB16 complete add (a=0) on separate 2-D (L, T) coordinates —
+    identical math to ec_jax.ec_add, unstacked for Mosaic."""
+    t0 = mont_mul(X1, X2, f)
+    t1 = mont_mul(Y1, Y2, f)
+    t2 = mont_mul(Z1, Z2, f)
+    xy = sub_mod(sub_mod(mont_mul(add_mod(X1, Y1, f), add_mod(X2, Y2, f), f),
+                         t0, f), t1, f)
+    yz = sub_mod(sub_mod(mont_mul(add_mod(Y1, Z1, f), add_mod(Y2, Z2, f), f),
+                         t1, f), t2, f)
+    xz = sub_mod(sub_mod(mont_mul(add_mod(X1, Z1, f), add_mod(X2, Z2, f), f),
+                         t0, f), t2, f)
+    b3_t2 = mul_small(t2, b3, f)
+    m = sub_mod(t1, b3_t2, f)
+    n = add_mod(t1, b3_t2, f)
+    X3 = sub_mod(mont_mul(xy, m, f),
+                 mul_small(mont_mul(yz, xz, f), b3, f), f)
+    Y3 = add_mod(mont_mul(n, m, f),
+                 mul_small(mont_mul(t0, xz, f), 3 * b3, f), f)
+    Z3 = add_mod(mont_mul(yz, n, f),
+                 mul_small(mont_mul(t0, xy, f), 3, f), f)
+    return X3, Y3, Z3
 
 
 def _add_kernel(ctx):
-    def kernel(p_ref, q_ref, mod_ref, o_ref):
-        kctx = _shim(ctx, mod_ref[:])
-        o_ref[:] = ej.ec_add(p_ref[:], q_ref[:], kctx)
+    def kernel(x1, y1, z1, x2, y2, z2, mod_ref, ox, oy, oz):
+        f = _shim(ctx, mod_ref[:])
+        X3, Y3, Z3 = _ec_add_2d(f, ctx.b3, x1[:], y1[:], z1[:],
+                                x2[:], y2[:], z2[:])
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
     return kernel
 
 
@@ -48,15 +80,16 @@ def ec_add_pallas(P, Q, ctx):
     L = P.shape[1]
     assert n % TILE == 0, "batch must be padded to the pallas tile"
     grid = (n // TILE,)
-    spec = pl.BlockSpec((3, L, TILE), lambda i: (0, 0, i),
-                        memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     mod_spec = pl.BlockSpec((L, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     mod = jnp.asarray(ctx.fp.mod)
-    return pl.pallas_call(
+    shape = jax.ShapeDtypeStruct((L, n), P.dtype)
+    X3, Y3, Z3 = pl.pallas_call(
         _add_kernel(ctx),
-        out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
+        out_shape=(shape, shape, shape),
         grid=grid,
-        in_specs=[spec, spec, mod_spec],
-        out_specs=spec,
-    )(P, Q, mod)
+        in_specs=[spec] * 6 + [mod_spec],
+        out_specs=(spec, spec, spec),
+    )(P[0], P[1], P[2], Q[0], Q[1], Q[2], mod)
+    return jnp.stack([X3, Y3, Z3], axis=0)
