@@ -40,7 +40,7 @@ class HostBackend:
 _backends = {"host": HostBackend()}
 _mode = os.environ.get("BP_BACKEND", "auto")
 # Below this vector length the host backend wins (device dispatch overhead).
-DEVICE_THRESHOLD = int(os.environ.get("BP_DEVICE_THRESHOLD", "512"))
+DEVICE_THRESHOLD = int(os.environ.get("BP_DEVICE_THRESHOLD", "16384"))
 
 
 def register_backend(name, backend):

@@ -107,7 +107,20 @@ BN254 = CurveParams(
     modbytes=32,
 )
 
-CURVES = {"bls381": BLS381, "bn254": BN254}
+# secp256k1 (reference cargo feature `secp256k1`, `Cargo.toml:22-27`):
+# y^2 = x^3 + 7 — also a = 0, so the same complete RCB16 formulas apply.
+SECP256K1 = CurveParams(
+    name="secp256k1",
+    p=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F,
+    r=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
+    b=7,
+    cofactor=1,
+    gx=0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    modbytes=32,
+)
+
+CURVES = {"bls381": BLS381, "bn254": BN254, "secp256k1": SECP256K1}
 
 _active = BLS381
 

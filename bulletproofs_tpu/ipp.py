@@ -10,8 +10,12 @@ batched TPU limb kernels); the transcript forces one device->host sync of
 (L, R) per round, which is inherent to Fiat-Shamir.
 """
 
+import os
 from dataclasses import dataclass
 from typing import List
+
+# Minimum circuit size for the device-resident IPA (see create_ipp)
+DEVICE_IPA_MIN_N = int(os.environ.get("BP_IPA_DEVICE_MIN", "2048"))
 
 from .backend import get_backend
 from .ops.field_host import (Scalar, batch_invert, hadamard_product,
@@ -42,8 +46,11 @@ def create_ipp(transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec,
     assert len(G_factors) == len(H_factors) == n
 
     # device-resident fast path: all O(n) state stays on the TPU across
-    # rounds, one (L, R) transfer per round for the transcript
-    if n > 1 and getattr(get_backend(n), "name", "") == "jax":
+    # rounds, one (L, R) transfer per round for the transcript.  Each IPA
+    # round is a DIFFERENT power-of-two shape, so the first proof at a new
+    # size compiles log2(n) kernel sets — only worth it for large circuits
+    # (or with a warm persistent compile cache), hence the size floor.
+    if n >= DEVICE_IPA_MIN_N and getattr(get_backend(n), "name", "") == "jax":
         from .ops.ipp_device import create_ipp_device
         L_vec, R_vec, a_fin, b_fin = create_ipp_device(
             transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec)

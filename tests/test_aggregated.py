@@ -72,3 +72,28 @@ def test_bn254_gadget_suite(rng):
             b"bnpos", g, h, G, H)
         ph.verify_proof_of_knowledge_of_preimage_of_Poseidon_2(
             image, params, SboxType.Cube, proof, comms, b"bnpos", g, h, G, H)
+
+
+def test_secp256k1_range_proof(rng):
+    """Third runtime curve (reference cargo feature `secp256k1`): same a=0
+    complete formulas, 256-bit field."""
+    with using_curve("secp256k1"):
+        G = get_generators("G", 64)
+        H = get_generators("H", 64)
+        g = G1.from_msg_hash(b"g")
+        h = G1.from_msg_hash(b"h")
+        proof, comms = bound_check.gen_proof_of_bounded_num(
+            4242, None, 0, 1 << 16, 16, rng, b"k1", g, h, G, H)
+        bound_check.verify_proof_of_bounded_num(
+            0, 1 << 16, 16, proof, comms, b"k1", g, h, G, H)
+        params = PoseidonParams(5, 4, 4, 56)
+        xl = [Scalar.random(rng) for _ in range(4)]
+        from bulletproofs_tpu.models.helper_constraints.poseidon import \
+            Poseidon_hash_4
+        image = Poseidon_hash_4(xl, params, SboxType.Quint)
+        proof, comms = ph.gen_proof_of_knowledge_of_preimage_of_Poseidon_4(
+            xl, None, image, params, SboxType.Quint, rng, b"k1p", g, h,
+            get_generators("G", 1024), get_generators("H", 1024))
+        ph.verify_proof_of_knowledge_of_preimage_of_Poseidon_4(
+            image, params, SboxType.Quint, proof, comms, b"k1p", g, h,
+            get_generators("G", 1024), get_generators("H", 1024))

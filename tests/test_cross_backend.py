@@ -18,10 +18,13 @@ from bulletproofs_tpu.utils import get_generators
 
 
 def _proof_bytes(mode):
+    from bulletproofs_tpu import ipp as ipp_mod
     old_mode = backend_mod._mode
     old_thresh = backend_mod.DEVICE_THRESHOLD
+    old_ipa_min = ipp_mod.DEVICE_IPA_MIN_N
     backend_mod.set_backend(mode)
     backend_mod.DEVICE_THRESHOLD = 1
+    ipp_mod.DEVICE_IPA_MIN_N = 2       # force the device IPA path coverage
     try:
         rng = random.Random(0xDE7E12)
         G = get_generators("G", 64)
@@ -34,6 +37,7 @@ def _proof_bytes(mode):
     finally:
         backend_mod.set_backend(old_mode)
         backend_mod.DEVICE_THRESHOLD = old_thresh
+        ipp_mod.DEVICE_IPA_MIN_N = old_ipa_min
 
 
 def test_backends_bit_exact():
