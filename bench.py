@@ -2,16 +2,22 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Primary metric this round: single-chip Pippenger MSM throughput at n = 2^16
-over BLS12-381 — the kernel that dominates both proving (witness commitments,
-IPA L/R, `/root/reference/src/ipp.rs:91,104`) and verification (the one
-mega-MSM, `verifier.rs:431-456`; BASELINE config #3).
+Primary metric: production Pippenger MSM throughput at n = 2^16 over
+BLS12-381 (split-window plan + hybrid host combine, ops/msm.py) — the kernel
+that dominates both proving (witness commitments, IPA L/R,
+`/root/reference/src/ipp.rs:91,104`) and verification (the one mega-MSM,
+`verifier.rs:431-456`; BASELINE config #3).
 
-vs_baseline: the reference publishes no numbers and its Rust toolchain is not
-available in this image (BASELINE.md), so the denominator is a documented
-ESTIMATE of the reference's serial AMCL MSM throughput: ~30k points/s
-(generous: assumes an optimized Pippenger over AMCL's ~0.5 us/field-mul
-arithmetic; the reference's actual per-point var-time loop is slower).
+Extras (all measured absolute, BASELINE.md configs):
+- config #1: single 64-bit range proof prove/verify (auto backend)
+- config #2: m=16 aggregated 64-bit range proofs (n=2048) prove/verify on
+  the DEVICE prover/verifier path (ops/prover_device.py — implicit-basis
+  IPA, device z-fold/vector-polys, hybrid MSMs)
+
+vs_baseline: the reference publishes no numbers and its Rust toolchain is
+not available in this image (BASELINE.md), so the denominator is a
+documented ESTIMATE of the reference's serial AMCL MSM throughput:
+~30k points/s (generous; see BASELINE.md round-1 addendum).
 """
 
 import json
@@ -40,6 +46,7 @@ def main():
     from bulletproofs_tpu.ops import msm as msm_mod
     from bulletproofs_tpu.ops.ec_host import G1
 
+    extras = {}
     rnd = random.Random(0xBE7C)
     with using_curve(BLS381):
         ctx = ej.CurveCtx(BLS381)
@@ -47,58 +54,105 @@ def main():
         pts = base * (N // 256)
         P = ej.to_device_points(pts, ctx)
         npr = np.random.RandomState(0)
+        # uniform scalars below r (rejection on the top limb)
         sl = npr.randint(0, 1 << 16, size=(ctx.fr.L, N)).astype(np.uint32)
-        # full-range scalars below r: cap the top 16-bit limb under
-        # r >> 240 = 0x73ED so every window has realistic digit entropy
         sl[ctx.fr.L - 1] %= 0x73ED
         s = jnp.asarray(sl)
 
         t0 = time.time()
-        out = msm_mod.msm_device(P, s, ctx, WINDOW)
-        out.block_until_ready()
+        out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW)
         compile_s = time.time() - t0
 
         times = []
         for _ in range(REPS):
             t0 = time.time()
-            out = msm_mod.msm_device(P, s, ctx, WINDOW)
-            out.block_until_ready()
+            out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW)
             times.append(time.time() - t0)
         med = sorted(times)[len(times) // 2]
         pps = N / med
+        extras["msm_seconds_p50"] = round(med, 4)
+        extras["compile_seconds"] = round(compile_s, 1)
 
-        # BASELINE config #1 extras: single 64-bit range proof end to end
-        # on the auto backend (native C++ below the device threshold)
-        from bulletproofs_tpu.models import bound_check
-        from bulletproofs_tpu.utils import get_generators
-        Gg = get_generators("G", 256)
-        Hh = get_generators("H", 256)
-        g1 = G1.from_msg_hash(b"g")
-        h1 = G1.from_msg_hash(b"h")
-        t0 = time.time()
-        proof, comms = bound_check.gen_proof_of_bounded_num(
-            (1 << 62) + 5, None, 0, (1 << 64) - 1, 64, rnd, b"bench",
-            g1, h1, Gg, Hh)
-        prove_s = time.time() - t0
-        t0 = time.time()
-        bound_check.verify_proof_of_bounded_num(
-            0, (1 << 64) - 1, 64, proof, comms, b"bench", g1, h1, Gg, Hh)
-        verify_s = time.time() - t0
+        # ---- BASELINE config #1: single 64-bit range proof (auto) ----
+        try:
+            from bulletproofs_tpu.models import bound_check
+            from bulletproofs_tpu.utils import get_generators
+            Gg = get_generators("G", 256)
+            Hh = get_generators("H", 256)
+            g1 = G1.from_msg_hash(b"g")
+            h1 = G1.from_msg_hash(b"h")
+            t0 = time.time()
+            proof, comms = bound_check.gen_proof_of_bounded_num(
+                (1 << 62) + 5, None, 0, (1 << 64) - 1, 64, rnd, b"bench",
+                g1, h1, Gg, Hh)
+            extras["range_proof_64bit_prove_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            bound_check.verify_proof_of_bounded_num(
+                0, (1 << 64) - 1, 64, proof, comms, b"bench", g1, h1, Gg, Hh)
+            extras["range_proof_64bit_verify_s"] = round(time.time() - t0, 3)
+        except Exception as e:                       # pragma: no cover
+            extras["config1_error"] = repr(e)[:200]
+
+        # ---- BASELINE config #2: m=16 aggregated, DEVICE prover path ----
+        try:
+            from bulletproofs_tpu import (Prover, Verifier, backend as
+                                          backend_mod)
+            from bulletproofs_tpu.transcript import ProofTranscript
+            from bulletproofs_tpu.utils import get_generators
+            backend_mod.set_backend("jax")
+            m, bits = 16, 64
+            G2 = get_generators("G", 2048)
+            H2 = get_generators("H", 2048)
+
+            def prove_once(seed):
+                rng = random.Random(seed)
+                vals = [rng.randrange(1 << 63) for _ in range(m)]
+                tr = ProofTranscript(b"AggRange")
+                p = Prover(g1, h1, tr, rng=rng)
+                comms = [bound_check.prove_bounded_num(
+                    v, None, 0, (1 << bits) - 1, bits, rng, p)
+                    for v in vals]
+                t0 = time.time()
+                proof = p.prove(G2, H2)
+                return proof, comms, time.time() - t0
+
+            proof2, comms2, warm = prove_once(1)     # compile warmup
+            extras["agg_m16_prove_first_s"] = round(warm, 2)
+            p_times = []
+            for seed in (2, 3, 4):
+                proof2, comms2, tp = prove_once(seed)
+                p_times.append(tp)
+            extras["agg_m16_prove_s_p50"] = round(sorted(p_times)[1], 3)
+            extras["agg_m16_proofs_per_s"] = round(
+                m / sorted(p_times)[1], 2)
+
+            def verify_once():
+                tr = ProofTranscript(b"AggRange")
+                v = Verifier(tr)
+                for cm in comms2:
+                    bound_check.verify_bounded_num(
+                        0, (1 << bits) - 1, bits, cm, v)
+                t0 = time.time()
+                v.verify(proof2, g1, h1, G2, H2)
+                return time.time() - t0
+            verify_once()                            # warmup
+            v_times = [verify_once() for _ in range(3)]
+            extras["agg_m16_verify_s_p50"] = round(sorted(v_times)[1], 3)
+            backend_mod.set_backend("auto")
+        except Exception as e:                       # pragma: no cover
+            extras["config2_error"] = repr(e)[:200]
 
         print(json.dumps({
             "metric": "msm_points_per_s_n65536_bls381",
             "value": round(pps, 1),
             "unit": "points/s",
             "vs_baseline": round(pps / BASELINE_MSM_POINTS_PER_S, 2),
-            "msm_seconds_p50": round(med, 4),
-            "range_proof_64bit_prove_s": round(prove_s, 3),
-            "range_proof_64bit_verify_s": round(verify_s, 3),
-            "compile_seconds": round(compile_s, 1),
             "n": N,
             "window_bits": WINDOW,
             "device": str(jax.devices()[0]),
             "baseline_note": "estimated reference AMCL serial MSM, "
-                             "see bench.py docstring",
+                             "see bench.py docstring and BASELINE.md",
+            **extras,
         }))
 
 

@@ -64,13 +64,15 @@ class CurveParams:
     # Base field F_p and scalar field F_r
     p: int
     r: int
-    # Short Weierstrass y^2 = x^3 + b (a = 0 for both supported curves)
+    # Short Weierstrass y^2 = x^3 + a*x + b (a = 0 for the pairing curves
+    # and secp256k1; ed25519's Weierstrass form has a != 0)
     b: int
     cofactor: int
     gx: int
     gy: int
     # Serialized byte width of a field element (amcl MODBYTES)
     modbytes: int
+    a: int = 0
     fp: FieldParams = field(default=None)
     fr: FieldParams = field(default=None)
 
@@ -120,7 +122,29 @@ SECP256K1 = CurveParams(
     modbytes=32,
 )
 
-CURVES = {"bls381": BLS381, "bn254": BN254, "secp256k1": SECP256K1}
+# ed25519 (reference cargo feature `ed25519`, `Cargo.toml:27`).  AMCL's
+# ed25519 group is the prime-order subgroup of Curve25519; here it is
+# represented in short Weierstrass form via the standard birational map from
+# the Montgomery curve v^2 = u^3 + 486662 u^2 + u (x = u + A/3, y = v), so
+# the same complete projective formulas serve all curves — the a != 0 case
+# dispatches to the general RCB16 algorithm 1 instead of the a = 0
+# specialization.  Constants below are the mapped A = 486662 values and the
+# mapped base point u = 9 (see scripts in git history / NOTES.md):
+#   a = 1 - A^2/3,  b = A(2A^2 - 9)/27,  gx = 9 + A/3,  gy = v(9).
+ED25519 = CurveParams(
+    name="ed25519",
+    p=(1 << 255) - 19,
+    r=(1 << 252) + 27742317777372353535851937790883648493,
+    a=0x2AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA984914A144,
+    b=0x7B425ED097B425ED097B425ED097B425ED097B425ED097B4260B5E9C7710C864,
+    cofactor=8,
+    gx=0x2AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAD245A,
+    gy=0x20AE19A1B8A086B4E01EDD2C7748D14C923D4D7E6D7C61B229E9C5A27ECED3D9,
+    modbytes=32,
+)
+
+CURVES = {"bls381": BLS381, "bn254": BN254, "secp256k1": SECP256K1,
+          "ed25519": ED25519}
 
 _active = BLS381
 

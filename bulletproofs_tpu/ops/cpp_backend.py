@@ -46,7 +46,7 @@ def get_lib():
             _build()
         _lib = ctypes.CDLL(_SO)
         for fn in ("bp_msm", "bp_fold", "bp_scalar_mul_batch",
-                   "bp_add_batch"):
+                   "bp_add_batch", "bp_combine_rowcol"):
             getattr(_lib, fn).restype = None
     return _lib
 
@@ -72,8 +72,14 @@ class _CurveABI:
         params = [self.Lp, (-pow(cv.p, -1, 1 << 64)) % (1 << 64)]
         params += _limbs64(cv.p, MAXL)
         params += _limbs64((r64 * r64) % cv.p, MAXL)
-        params += [self.Lr, 3 * cv.b]
+        params += [self.Lr, 3 * cv.b if cv.a == 0 else 0]
         params += _limbs64(r64 % cv.p, MAXL)
+        # general-a block (ed25519): Montgomery-form a, a^2, 3b
+        params += [1 if cv.a != 0 else 0]
+        mont = lambda v: (v % cv.p) * r64 % cv.p
+        params += _limbs64(mont(cv.a), MAXL)
+        params += _limbs64(mont(cv.a * cv.a), MAXL)
+        params += _limbs64(mont(3 * cv.b), MAXL)
         self.params = np.array(params, dtype=np.uint64)
         return self
 

@@ -2,9 +2,10 @@
 surface per SURVEY.md section 2.1), over Python integers.
 
 Uses the same branch-free *complete* projective addition law (Renes-Costello-
-Batina 2016, a=0 specialization) as the device backend (`ops/ec_jax.py`), so
-host and device are formula-identical and cross-check each other exactly.
-Identity is (0 : 1 : 0).
+Batina 2016; the a=0 specialization for the pairing curves/secp256k1 and the
+general algorithm 1 for ed25519's a != 0 Weierstrass form) as the device
+backend (`ops/ec_jax.py`), so host and device are formula-identical and
+cross-check each other exactly.  Identity is (0 : 1 : 0).
 
 Reference behaviors replicated:
  - `to_bytes`: uncompressed amcl ECP layout `0x04 || x_be || y_be`
@@ -12,10 +13,10 @@ Reference behaviors replicated:
    at infinity as x=0, y=1 (ECP::inf leaves x=0,y=1 and affine() early-returns
    on z==0), which this encoder mirrors.
  - `from_msg_hash` hash-to-curve mirrors amcl `ECP::mapit`: reduce a MODBYTES
-   digest mod p, then try-and-increment on x until x^3+b is square; y is the
-   principal square root rhs^((p+1)/4) (both supported curves have
-   p = 3 mod 4, as amcl's FP::sqrt computes); finally clear the cofactor.
-   The digest function is SHAKE256(msg, MODBYTES).
+   digest mod p, then try-and-increment on x until x^3+ax+b is square; y is
+   the principal square root (p = 3 mod 4 curves use rhs^((p+1)/4) as amcl's
+   FP::sqrt computes; ed25519's p = 5 mod 8 uses Atkin); finally clear the
+   cofactor.  The digest function is SHAKE256(msg, MODBYTES).
  - `binary_scalar_mul(other, s1, s2) = s1*self + s2*other` (the IPA fold
    primitive, `ipp.rs:119-129`).
 """
@@ -25,6 +26,21 @@ import secrets
 
 from ..config import curve
 from .field_host import Scalar
+
+
+def _sqrt_mod(n, p):
+    """Square root mod p for p = 3 (mod 4) (amcl FP::sqrt's principal root,
+    rhs^((p+1)/4)) and p = 5 (mod 8) (Atkin's method — needed by ed25519's
+    p = 2^255 - 19).  Returns None if n is not a QR."""
+    n %= p
+    if p % 4 == 3:
+        y = pow(n, (p + 1) // 4, p)
+    else:
+        assert p % 8 == 5, "unsupported prime for sqrt"
+        y = pow(n, (p + 3) // 8, p)
+        if y * y % p != n:
+            y = y * pow(2, (p - 1) // 4, p) % p
+    return y if y * y % p == n else None
 
 
 class G1:
@@ -58,9 +74,9 @@ class G1:
         h = hashlib.shake_256(msg).digest(c.modbytes)
         x = int.from_bytes(h, "big") % c.p
         while True:
-            rhs = (x * x % c.p * x + c.b) % c.p
-            y = pow(rhs, (c.p + 1) // 4, c.p)
-            if y * y % c.p == rhs:
+            rhs = (x * x % c.p * x + c.a * x + c.b) % c.p
+            y = _sqrt_mod(rhs, c.p)
+            if y is not None:
                 break
             x += 1
         pt = cls(x, y, 1, c)
@@ -73,9 +89,10 @@ class G1:
         return self.Z == 0
 
     def is_on_curve(self):
-        p, b = self.cv.p, self.cv.b
-        # Y^2 Z = X^3 + b Z^3 (projective curve equation)
+        p, a, b = self.cv.p, self.cv.a, self.cv.b
+        # Y^2 Z = X^3 + a X Z^2 + b Z^3 (projective curve equation)
         return (self.Y * self.Y % p * self.Z - (self.X * self.X % p * self.X
+                + a * self.X % p * self.Z * self.Z
                 + b * self.Z * self.Z % p * self.Z)) % p == 0
 
     # ---- affine / serialization ----
@@ -105,9 +122,10 @@ class G1:
         assert pt.is_on_curve(), "point not on curve"
         return pt
 
-    # ---- group law: complete projective add (RCB16, a=0) ----
+    # ---- group law: complete projective add (RCB16) ----
     def __add__(self, o):
         p = self.cv.p
+        a = self.cv.a
         b3 = 3 * self.cv.b % p
         X1, Y1, Z1 = self.X, self.Y, self.Z
         X2, Y2, Z2 = o.X, o.Y, o.Z
@@ -117,11 +135,23 @@ class G1:
         xy = ((X1 + Y1) * (X2 + Y2) - t0 - t1) % p      # X1Y2 + X2Y1
         yz = ((Y1 + Z1) * (Y2 + Z2) - t1 - t2) % p      # Y1Z2 + Y2Z1
         xz = ((X1 + Z1) * (X2 + Z2) - t0 - t2) % p      # X1Z2 + X2Z1
-        m = (t1 - b3 * t2) % p                          # Y1Y2 - 3b Z1Z2
-        n = (t1 + b3 * t2) % p                          # Y1Y2 + 3b Z1Z2
-        X3 = (xy * m - b3 * yz % p * xz) % p
-        Y3 = (n * m + 3 * b3 * t0 % p * xz) % p
-        Z3 = (yz * n + 3 * t0 * xy) % p
+        if a == 0:
+            # a = 0 specialization (RCB16 algorithm 7)
+            m = (t1 - b3 * t2) % p                      # Y1Y2 - 3b Z1Z2
+            n = (t1 + b3 * t2) % p                      # Y1Y2 + 3b Z1Z2
+            X3 = (xy * m - b3 * yz % p * xz) % p
+            Y3 = (n * m + 3 * b3 * t0 % p * xz) % p
+            Z3 = (yz * n + 3 * t0 * xy) % p
+        else:
+            # general a (RCB16 algorithm 1); reduces to the above at a = 0
+            w = (a * xz + b3 * t2) % p
+            m = (t1 - w) % p
+            n = (t1 + w) % p
+            u1 = (3 * t0 + a * t2) % p
+            u4 = (b3 * xz + a * (t0 - a * t2)) % p
+            X3 = (xy * m - yz * u4) % p
+            Y3 = (m * n + u1 * u4) % p
+            Z3 = (yz * n + xy * u1) % p
         return G1(X3, Y3, Z3, self.cv)
 
     def double(self):

@@ -42,11 +42,23 @@ class CurveCtx:
         self.fp = FieldCtx(cv.fp)
         self.fr = FieldCtx(cv.fr)
         self.b3 = 3 * cv.b
+        self.a_is_zero = cv.a == 0
         L = self.fp.L
         # identity (0 : 1 : 0) in Montgomery form, shape (3, L, 1)
         # (numpy so it traces as a literal — see FieldCtx)
         self.identity = np.stack([
             self.fp.zero, self.fp.one_m, self.fp.zero], axis=0)
+        if not self.a_is_zero:
+            # general-a constants for RCB16 algorithm 1: the (L, 6, 1)
+            # Montgomery stack [a, a, a^2, a, 3b, 3b] multiplied against
+            # [xz, t2, t2, t0, t2, xz] in one 6-wide kernel (ed25519's
+            # Weierstrass a and b are full-width field elements, unlike the
+            # tiny b of the a = 0 curves)
+            p = cv.p
+            mont = lambda v: (v % p) * cv.fp.mont_r % p
+            a_m, a2_m, b3_m = mont(cv.a), mont(cv.a * cv.a), mont(3 * cv.b)
+            self.gen_consts = fj.ints_to_limbs(
+                [a_m, a_m, a2_m, a_m, b3_m, b3_m], L).reshape(L, 6, 1)
         return self
 
     def identity_like(self, shape):
@@ -61,12 +73,12 @@ class CurveCtx:
 # ---------------------------------------------------------------------------
 
 def ec_add(P, Q, ctx: CurveCtx):
-    """Complete projective addition (RCB16 alg. 7, a=0), batched.
+    """Complete projective addition (RCB16), batched.
 
     Independent field multiplies are STACKED on an inner batch axis so the
-    whole add is two 6-wide Montgomery multiplies (plus cheap add/sub chains)
-    — fewer sequential limb scans and wider vector lanes than issuing the 12
-    multiplies separately.
+    whole add is two (a=0: algorithm 7) or three (general a: algorithm 1)
+    6-wide Montgomery multiplies plus cheap add/sub chains — fewer sequential
+    limb scans and wider vector lanes than issuing the multiplies separately.
     """
     f = ctx.fp
     b3 = ctx.b3
@@ -90,6 +102,9 @@ def ec_add(P, Q, ctx: CurveCtx):
                 jnp.stack([t1, t2, t2], axis=1), f)
     xy, yz, xz = d[:, 0], d[:, 1], d[:, 2]
 
+    if not ctx.a_is_zero:
+        return _ec_add_general_tail(t0, t1, t2, xy, yz, xz, ctx)
+
     b3_t2 = mul_small(t2, b3, f)
     m = sub_mod(t1, b3_t2, f)              # Y1Y2 - 3b Z1Z2
     n = add_mod(t1, b3_t2, f)              # Y1Y2 + 3b Z1Z2
@@ -105,6 +120,29 @@ def ec_add(P, Q, ctx: CurveCtx):
     X3 = sub_mod(u[:, 0], w[:, 0], f)                  # xy*m - b3*yz*xz
     Y3 = add_mod(u[:, 2], v[:, 0], f)                  # n*m + 3b3*t0*xz
     Z3 = add_mod(u[:, 4], v[:, 1], f)                  # yz*n + 3*t0*xy
+    return jnp.stack([X3, Y3, Z3], axis=0)
+
+
+def _ec_add_general_tail(t0, t1, t2, xy, yz, xz, ctx: CurveCtx):
+    """RCB16 algorithm 1 tail (general a — ed25519's Weierstrass form; the
+    host backend's a != 0 branch in `ops/ec_host.py` is the scalar mirror).
+    One 6-wide constant multiply ([a,a,a^2,a,3b,3b] stack) + one 6-wide
+    variable multiply."""
+    f = ctx.fp
+    consts = ctx.gen_consts.reshape(
+        (f.L, 6) + (1,) * (xz.ndim - 1))           # align trailing batch dims
+    v = mont_mul(jnp.stack([xz, t2, t2, t0, t2, xz], axis=1), consts, f)
+    # v = [a*xz, a*t2, a^2*t2, a*t0, b3*t2, b3*xz]
+    w = add_mod(v[:, 0], v[:, 4], f)                   # a*xz + b3*t2
+    m = sub_mod(t1, w, f)
+    n = add_mod(t1, w, f)
+    u1 = add_mod(mul_small(t0, 3, f), v[:, 1], f)      # 3*t0 + a*t2
+    u4 = add_mod(v[:, 5], sub_mod(v[:, 3], v[:, 2], f), f)
+    u = mont_mul(jnp.stack([xy, yz, m, u1, yz, xy], axis=1),
+                 jnp.stack([m, u4, n, u4, n, u1], axis=1), f)
+    X3 = sub_mod(u[:, 0], u[:, 1], f)                  # xy*m - yz*u4
+    Y3 = add_mod(u[:, 2], u[:, 3], f)                  # m*n + u1*u4
+    Z3 = add_mod(u[:, 4], u[:, 5], f)                  # yz*n + xy*u1
     return jnp.stack([X3, Y3, Z3], axis=0)
 
 

@@ -45,29 +45,30 @@ MASK = np.uint32(LIMB_MASK)
 # ---------------------------------------------------------------------------
 
 def ints_to_limbs(values, n_limbs):
-    """List/array of python ints -> (L, n) uint32 little-endian 16-bit limbs."""
-    out = np.zeros((n_limbs, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        v = int(v)
-        for i in range(n_limbs):
-            out[i, j] = v & LIMB_MASK
-            v >>= LIMB_BITS
-        assert v == 0, "value does not fit in limbs"
-    return out
+    """List/array of python ints -> (L, n) uint32 little-endian 16-bit limbs.
+
+    Hot boundary op (every host->device crossing): one `int.to_bytes` per
+    value (C-speed) + a single frombuffer, no per-limb Python loop.
+    """
+    nb = n_limbs * (LIMB_BITS // 8)
+    # int.to_bytes raises OverflowError if a value does not fit (or is
+    # negative) — same contract as the old per-limb assert
+    buf = b"".join(int(v).to_bytes(nb, "little") for v in values)
+    if not values:
+        return np.zeros((n_limbs, 0), dtype=np.uint32)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(values), n_limbs)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
 
 
 def limbs_to_ints(arr):
-    """(L, n) limbs -> list of python ints."""
+    """(L, n) limbs -> list of python ints (one from_bytes per value)."""
     arr = np.asarray(arr)
     L = arr.shape[0]
-    flat = arr.reshape(L, -1)
-    out = []
-    for j in range(flat.shape[1]):
-        v = 0
-        for i in range(L - 1, -1, -1):
-            v = (v << LIMB_BITS) | int(flat[i, j])
-        out.append(v)
-    return out
+    flat = arr.reshape(L, -1).T.astype("<u2")     # (n, L) 16-bit rows
+    nb = L * (LIMB_BITS // 8)
+    buf = flat.tobytes()
+    return [int.from_bytes(buf[j * nb:(j + 1) * nb], "little")
+            for j in range(flat.shape[0])]
 
 
 # ---------------------------------------------------------------------------

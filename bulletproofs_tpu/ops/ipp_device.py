@@ -51,12 +51,10 @@ def _inner_product_mont(a, b, fr):
 
 
 def _msm(points_dev, scalars_mont, ctx):
-    """Device MSM with host round sync; scalars arrive in mont form."""
+    """Device MSM (guess-verify round count); scalars arrive in mont form."""
     plain = _mont_to_plain(scalars_mont, ctx.fr)
-    n = points_dev.shape[2]
-    c = msm_mod.pick_window(n)
-    rounds = (int(msm_mod._max_occupancy(plain, ctx, c)) + 7) // 8 * 8
-    out = msm_mod._msm_device_jit(points_dev, plain, ctx, c, rounds)
+    c = msm_mod.pick_window(points_dev.shape[2])
+    out = msm_mod.msm_device(points_dev, plain, ctx, c)
     return ej.from_device_points(out, ctx)[0]
 
 

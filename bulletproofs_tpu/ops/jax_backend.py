@@ -15,15 +15,26 @@ from .ec_host import G1
 
 class _ConvCache:
     """Cache host->device conversions of long-lived point vectors (the
-    generator sets G, H).  Keyed on the id of the list object AND its length
-    (generators are append-only reused lists in practice)."""
+    generator sets G, H — reused across every proof and IPA round).
 
-    def __init__(self, max_entries=8):
+    Keyed on CONTENT, not object identity: length + curve + the projective
+    coordinates of three sampled points (first/middle/last).  Generator
+    vectors come from hash-to-curve, so sampled coordinates determine the
+    whole vector with overwhelming probability; id()-based keys were an
+    aliasing hazard after GC (ADVICE.md round 1)."""
+
+    def __init__(self, max_entries=16):
         self.entries = {}
         self.max_entries = max_entries
 
+    @staticmethod
+    def _key(points, ctx):
+        sample = (points[0], points[len(points) // 2], points[-1])
+        return (len(points), ctx.cv.name) + tuple(
+            (p.X, p.Y, p.Z) for p in sample)
+
     def get(self, points, ctx):
-        key = (id(points), len(points), ctx.cv.name)
+        key = self._key(points, ctx)
         hit = self.entries.get(key)
         if hit is not None:
             return hit
@@ -49,7 +60,7 @@ class JaxBackend:
         if not points:
             return G1.identity()
         ctx = self._ctx(points)
-        P = ej.to_device_points(points, ctx)
+        P = self._gen_cache.get(points, ctx)
         s = ej.to_device_scalars(scalars, ctx)
         c = msm_mod.pick_window(len(points))
         out = msm_mod.msm_device(P, s, ctx, c)

@@ -57,7 +57,39 @@ def pick_window(n: int) -> int:
 # Phase 2: bucket accumulation (the EC hot loop)
 # ---------------------------------------------------------------------------
 
-def _slot_grid(digits, B, R):
+def window_plan(ctx, c, n_sets=1):
+    """STATIC per-(curve, c) window layout with sub-bucket splitting.
+
+    The top window's digits span only `range_w = (r-1 >> c*w) + 1` values
+    (the scalar field order's top bits have low entropy), so with plain
+    bucketing its occupancy — and therefore the GLOBAL round count — is
+    B/range_w times worse than the uniform windows (measured 840 vs ~336
+    rounds at n=2^16, c=8 on v5e).  Skewed windows therefore spread each
+    digit over `split_w` sub-buckets (the otherwise-unused bucket indices):
+    point with digit d and occupancy-rank t goes to bucket d + range_w *
+    (t mod split_w) at round t // split_w.  A log2(split)-step EC fold
+    before the combine restores true buckets.
+
+    Returns (ranges, splits): numpy (n_sets*W, 1) int32 column vectors.
+    """
+    B = 1 << c
+    n_bits = ctx.cv.fr.n_bits
+    W = -(-n_bits // c)
+    r_max = ctx.cv.r - 1
+    ranges, splits = [], []
+    for w in range(W):
+        rng = min(B, (r_max >> (c * w)) + 1)
+        split = 1
+        while split * 2 * rng <= B:
+            split *= 2
+        ranges.append(rng)
+        splits.append(split)
+    ranges = np.asarray(ranges * n_sets, np.int32).reshape(-1, 1)
+    splits = np.asarray(splits * n_sets, np.int32).reshape(-1, 1)
+    return ranges, splits
+
+
+def _slot_grid(digits, B, R, ranges=None, splits=None):
     """Precompute the full round plan as a dense grid: grid[t, w, b] = index
     of the point that lands in bucket b of window w during round t (or n if
     that slot is empty), shape (R, W, B) int32 + found mask.
@@ -66,7 +98,9 @@ def _slot_grid(digits, B, R):
     per-round dynamic slicing (slicing big lane-major arrays at traced
     offsets lowers to O(n) work per round):
 
-    1. per point: slot key = occupancy-rank * B + digit
+    1. per point: slot key = occupancy-rank * B + bucket, where bucket =
+       digit + range * (rank mod split) spreads skewed windows over their
+       unused bucket indices (see `window_plan`)
     2. merge-sort real points with one dummy entry per slot
        (key doubled, dummies odd -> stable real-before-dummy)
     3. keep the first element of every key (real if present), compact the
@@ -82,14 +116,23 @@ def _slot_grid(digits, B, R):
         jnp.where(sorted_d != prev, iota, 0), axis=1)
     rank = iota - start_pos
 
+    if splits is not None:
+        bucket = sorted_d + jnp.asarray(ranges) * (rank % jnp.asarray(splits))
+        rank = rank // jnp.asarray(splits)
+    else:
+        bucket = sorted_d
+
+    # true max occupancy under this plan (digit-0 never scheduled) — callers
+    # verify their static R against it and re-dispatch on overflow
+    occ = jnp.max(jnp.where(sorted_d == 0, 0, rank)) + 1
+
     # digit-0 points contribute weight 0: never schedule them (their key
     # sorts past every dummy); rank/round pressure comes from b != 0 only.
-    # rank >= R is also sentineled so an undersized R (caller contract
-    # violation) can't alias valid slots — callers compute R from the true
-    # max occupancy.
+    # rank >= R is also sentineled so an undersized R can't alias valid
+    # slots (the occupancy check above catches the drop).
     real_key = jnp.where((sorted_d == 0) | (rank >= R),
                          jnp.int32(2 * (R * B + 1)),
-                         (rank * B + sorted_d) * 2)
+                         (rank * B + bucket) * 2)
     dummy_key = jnp.broadcast_to(
         jnp.arange(R * B, dtype=jnp.int32) * 2 + 1, (W, R * B))
     dummy_ids = jnp.full((W, R * B), n, jnp.int32)
@@ -107,18 +150,46 @@ def _slot_grid(digits, B, R):
     compact_key = jnp.where(first, pos_iota, total)
     _, grid = jax.lax.sort((compact_key, v), dimension=-1, num_keys=1)
     grid = grid[:, :R * B].reshape(W, R, B).transpose(1, 0, 2)
-    return grid, grid != n                               # (R, W, B)
+    return grid, grid != n, occ                          # (R, W, B)
+
+
+def fold_split_buckets(buckets, ctx, ranges, splits):
+    """Undo the sub-bucket spreading: for every window with split > 1, EC-
+    fold bucket d + range*j into bucket d (tree over j), identity elsewhere.
+    buckets (3, L, W, B) -> same shape with true per-digit buckets."""
+    B = buckets.shape[3]
+    max_split = int(splits.max())
+    if max_split == 1:
+        return buckets
+    cols = []
+    for w in range(buckets.shape[2]):
+        col = buckets[:, :, w]                       # (3, L, B)
+        s, rng = int(splits[w, 0]), int(ranges[w, 0])
+        if s > 1:
+            acc = col[..., :rng]
+            j = 1
+            while j < s:                             # tree over sub-buckets
+                acc = ec_add(acc, col[..., j * rng:(j + 1) * rng], ctx)
+                j += 1
+            col = jnp.concatenate(
+                [acc, ctx.identity_like((B - rng,))], axis=-1)
+        cols.append(col[:, :, None])
+    return jnp.concatenate(cols, axis=2)
 
 
 def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
-                      k_slices=1):
-    """points (3, L, n) Montgomery, digits (W, n) -> buckets (3, L, W, B).
+                      k_slices=1, plan=None):
+    """points (3, L, n) Montgomery, digits (W, n) -> (buckets (3, L, W, B),
+    occ) where occ is the true max occupancy under `plan` (callers verify
+    n_rounds >= occ and re-dispatch on the rare overflow).
 
-    n_rounds: STATIC round count (the top-level MSM computes max occupancy on
-    the host and rounds up to a multiple of k_slices).  Static bounds + a
-    precomputed slot grid keep every round O(K*W*B): one row index on the
-    grid's major axis, one row gather from the point table, one batched
-    complete EC add.
+    n_rounds: STATIC round count.  Static bounds + a precomputed slot grid
+    keep every round O(K*W*B): one row index on the grid's major axis, one
+    row gather from the point table, one batched complete EC add.
+
+    plan: optional (ranges, splits) from `window_plan` — sub-bucket
+    splitting for low-entropy windows (the field order's top bits), without
+    which the top window inflates the GLOBAL round count ~2.5x.
 
     k_slices: K consecutive rounds per loop iteration against K independent
     bucket arrays (merged with a log2(K) tree at the end).  MEASURED: K=8
@@ -134,7 +205,8 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     K = k_slices
     while n_rounds % K:
         K //= 2
-    grid, found = _slot_grid(digits, B, n_rounds)
+    ranges, splits = plan if plan is not None else (None, None)
+    grid, found, occ = _slot_grid(digits, B, n_rounds, ranges, splits)
     grid = grid.reshape(n_rounds // K, K, W, B)
     found = found.reshape(n_rounds // K, K, W, B)
     buckets0 = ctx.identity_like((K, W, B))
@@ -155,24 +227,29 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     while K > 1:
         K //= 2
         buckets = ec_add(buckets[:, :, :K], buckets[:, :, K:], ctx)
-    return buckets[:, :, 0]
+    buckets = buckets[:, :, 0]
+    if plan is not None:
+        buckets = fold_split_buckets(buckets, ctx, ranges, splits)
+    return buckets, occ
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _max_occupancy(scalars, ctx: CurveCtx, c: int):
-    """Max NON-ZERO bucket occupancy over all windows (tiny; synced to host
-    by the MSM driver to fix the round count statically).  Digit-0 points
-    are never scheduled (weight 0), so they don't add rounds."""
+    """Max NON-ZERO bucket occupancy over all windows under the split plan
+    (used by the sharded MSM to fix a global static round count).  Digit-0
+    points are never scheduled (weight 0), so they don't add rounds."""
     W = -(-ctx.cv.fr.n_bits // c)
     digits = fj.get_digits(scalars, c, W)
     n = digits.shape[1]
+    ranges, splits = window_plan(ctx, c)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
     sorted_d, _ = jax.lax.sort_key_val(digits, iota, dimension=-1)
     prev = jnp.concatenate(
         [jnp.full((W, 1), -1, jnp.int32), sorted_d[:, :-1]], axis=1)
     start_pos = jax.lax.cummax(
         jnp.where(sorted_d != prev, iota, 0), axis=1)
-    rank = jnp.where(sorted_d == 0, 0, iota - start_pos)
+    rank = (iota - start_pos) // jnp.asarray(splits)
+    rank = jnp.where(sorted_d == 0, 0, rank)
     return jnp.max(rank) + 1
 
 
@@ -211,54 +288,206 @@ def _axis_sum(arr, m, axis, ctx):
     return jax.lax.fori_loop(0, m, body, acc)
 
 
-def combine_buckets(buckets, ctx: CurveCtx, c: int):
-    """buckets (3, L, W, B) -> MSM total (3, L) single point."""
-    W, B = buckets.shape[2], buckets.shape[3]
+def bucket_rowcol(buckets, ctx: CurveCtx, c: int):
+    """The WIDE half of the bucket combine: two-level split d = g*K + k,
+    rowsum[w, g] = sum_k B[w, gK+k], colsum[w, k] = sum_g B[w, gK+k].
+    buckets (3, L, W, B) -> ((3, L, W, G), (3, L, W, K)).
+
+    The serial tail (weighted running sums + window Horner) either stays on
+    device (`combine_from_rowcol`, for the pure-device/sharded paths) or is
+    finished by the native C++ host runtime (`msm_hybrid` — ~300 sequential
+    single-point adds are latency-bound on the TPU but microseconds on the
+    host, and every MSM result crosses to the host for the transcript
+    anyway)."""
     g_bits = (c + 1) // 2
-    G, K = 1 << g_bits, 1 << (c - g_bits)         # d = g*K + k
+    G, K = 1 << g_bits, 1 << (c - g_bits)
     bk = buckets.reshape(buckets.shape[:3] + (G, K))
     rowsum = _axis_sum(bk, K, 4, ctx)             # (3, L, W, G): sum over k
     colsum = _axis_sum(bk, G, 3, ctx)             # (3, L, W, K): sum over g
+    return rowsum, colsum
+
+
+def combine_from_rowcol(rowsum, colsum, ctx: CurveCtx, c: int,
+                        wins_per_set=None):
+    """Device serial tail of the combine.  rowsum (3, L, W, G), colsum
+    (3, L, W, K); W = n_sets * wins_per_set windows -> (3, L, n_sets)."""
+    W = rowsum.shape[2]
+    G, K = rowsum.shape[3], colsum.shape[3]
+    if wins_per_set is None:
+        wins_per_set = W
+    n_sets = W // wins_per_set
     wr = _running_weighted_sum(rowsum, G, ctx)    # sum_g g*rowsum (3, L, W)
     wc = _running_weighted_sum(colsum, K, ctx)    # sum_k k*colsum (3, L, W)
-    for _ in range(c - g_bits):                   # K * wr
+    for _ in range(c - (c + 1) // 2):             # K * wr
         wr = ec_double(wr, ctx)
     totals = ec_add(wr, wc, ctx)                  # (3, L, W)
+    totals = totals.reshape(totals.shape[:2] + (n_sets, wins_per_set))
 
-    # Horner over windows: acc = 2^c * acc + T_w, w = W-1 .. 0
-    # (single points keep a trailing batch dim of 1: batch is never empty)
+    # Horner over each set's windows: acc = 2^c * acc + T_w, w = Wps-1 .. 0
     def body(t, acc):
-        w = W - 1 - t
+        w = wins_per_set - 1 - t
         acc = jax.lax.fori_loop(
             0, c, lambda _, a: ec_double(a, ctx), acc)
         return ec_add(acc, jax.lax.dynamic_index_in_dim(
-            totals, w, axis=2, keepdims=True), ctx)
+            totals, w, axis=3, keepdims=False), ctx)
 
-    return jax.lax.fori_loop(0, W, body, ctx.identity_like((1,)))
+    return jax.lax.fori_loop(0, wins_per_set, body,
+                             ctx.identity_like((n_sets,)))
+
+
+def combine_buckets(buckets, ctx: CurveCtx, c: int):
+    """buckets (3, L, W, B) -> MSM total (3, L, 1) single point."""
+    rowsum, colsum = bucket_rowcol(buckets, ctx, c)
+    return combine_from_rowcol(rowsum, colsum, ctx, c)
 
 
 # ---------------------------------------------------------------------------
 # Top level
 # ---------------------------------------------------------------------------
 
+def occupancy_guess(n, ctx, c, margin_sigma=6.0):
+    """STATIC round-count guess: worst per-window mean occupancy under the
+    split plan plus a Poisson tail margin, rounded to a multiple of 16 (a
+    handful of distinct values keeps the jit cache warm).  The kernels
+    return the true occupancy; drivers re-dispatch on the rare overflow."""
+    import math
+    ranges, splits = window_plan(ctx, c)
+    worst = max(-(-n // (int(r) * int(s)))
+                for r, s in zip(ranges[:, 0], splits[:, 0]))
+    guess = worst + margin_sigma * math.sqrt(worst) + 4
+    return max(16, (int(guess) + 15) // 16 * 16)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _msm_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
-    buckets = bucket_accumulate(points, digits, ctx, c, n_rounds)
-    return combine_buckets(buckets, ctx, c)
+    plan = window_plan(ctx, c)
+    buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
+                                     plan=plan)
+    return combine_buckets(buckets, ctx, c), occ
+
+
+def _digits_multi(scalars, ctx, c):
+    """scalars (S, Lr, n) -> (S*W, n) digits (each set's windows stacked)."""
+    S = scalars.shape[0]
+    W = -(-ctx.cv.fr.n_bits // c)
+    digs = [fj.get_digits(scalars[s], c, W) for s in range(S)]
+    return jnp.concatenate(digs, axis=0)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_multi_rowcol_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
+    """S scalar sets against one point vector in ONE bucket pass (the two
+    L/R MSMs of an IPA round share the point table and the round grid).
+    Returns (rowsum, colsum, occ) with sums in PLAIN (non-Montgomery) form,
+    ready for the native host combine.  scalars (S, Lr, n)."""
+    S = scalars.shape[0]
+    digits = _digits_multi(scalars, ctx, c)
+    plan = window_plan(ctx, c, n_sets=S)
+    buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
+                                     plan=plan)
+    rowsum, colsum = bucket_rowcol(buckets, ctx, c)
+    L = ctx.fp.L
+    flat = jnp.concatenate(
+        [rowsum.reshape(3, L, -1), colsum.reshape(3, L, -1)], axis=2)
+    # Montgomery -> plain for the host ABI (limbs must lead for the kernel)
+    m = flat.shape[2]
+    limbs_first = jnp.transpose(flat, (1, 0, 2)).reshape(L, 3 * m)
+    plain = fj.mont_mul(limbs_first,
+                        jnp.zeros_like(limbs_first).at[0].set(1), ctx.fp)
+    flat = jnp.transpose(plain.reshape(L, 3, m), (1, 0, 2))
+    ng = rowsum.shape[2] * rowsum.shape[3]
+    return flat[:, :, :ng], flat[:, :, ng:], occ
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_multi_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
+    """Pure-device multi-set MSM: scalars (S, Lr, n) -> ((3, L, S), occ)."""
+    S = scalars.shape[0]
+    W = -(-ctx.cv.fr.n_bits // c)
+    digits = _digits_multi(scalars, ctx, c)
+    plan = window_plan(ctx, c, n_sets=S)
+    buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
+                                     plan=plan)
+    rowsum, colsum = bucket_rowcol(buckets, ctx, c)
+    return combine_from_rowcol(rowsum, colsum, ctx, c, wins_per_set=W), occ
+
+
+def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None):
+    """Multi-set MSM with the serial combine tail on the native host:
+    points (3, L, n) Montgomery device, scalars (S, Lr, n) plain device ->
+    list of S host G1 results.
+
+    This is the production prover/verifier MSM: results cross to the host
+    for the Fiat-Shamir transcript anyway, so finishing the ~300-step
+    serial combine there (microseconds in C++) instead of on the TPU
+    (latency-bound fori chains) is strictly cheaper."""
+    import numpy as np
+    from .cpp_backend import _CurveABI, get_lib, _ptr
+    import ctypes
+
+    n = points_dev.shape[2]
+    S = scalars_multi.shape[0]
+    if c is None:
+        c = pick_window(n)
+    W = -(-ctx.cv.fr.n_bits // c)
+    rounds = occupancy_guess(n, ctx, c)
+    while True:
+        rowsum, colsum, occ = _msm_multi_rowcol_jit(
+            points_dev, scalars_multi, ctx, c, rounds)
+        occ = int(occ)
+        if occ <= rounds:
+            break
+        rounds = (occ + 15) // 16 * 16
+    g_bits = (c + 1) // 2
+    G, K = 1 << g_bits, 1 << (c - g_bits)
+    rowsum = np.asarray(rowsum)
+    colsum = np.asarray(colsum)
+
+    abi = _CurveABI(ctx.cv)
+    lib = get_lib()
+    nwin = S * W
+    out = np.zeros(S * 3 * abi.Lp, dtype=np.uint64)
+    lib.bp_combine_rowcol(
+        _ptr(abi.params),
+        _ptr(_limbs16_to_limbs64(rowsum, abi.Lp)),
+        _ptr(_limbs16_to_limbs64(colsum, abi.Lp)),
+        ctypes.c_uint64(nwin), ctypes.c_uint64(G), ctypes.c_uint64(K),
+        ctypes.c_uint64(c), ctypes.c_uint64(W), _ptr(out))
+    return abi.buf_to_points(out, S)
+
+
+def _limbs16_to_limbs64(arr, Lp64):
+    """(3, L16, m) uint32 16-bit limbs (plain form) -> C ABI buffer of m
+    points x 3 coords x Lp64 64-bit limbs (pure numpy bit repacking)."""
+    import numpy as np
+    arr = np.asarray(arr, dtype=np.uint16)       # canonical 16-bit limbs
+    three, L16, m = arr.shape
+    # -> (m, 3, L16) little-endian u16 words, padded to Lp64*4 words
+    words = np.transpose(arr, (2, 0, 1))
+    pad = Lp64 * 4 - L16
+    if pad:
+        words = np.concatenate(
+            [words, np.zeros((m, 3, pad), np.uint16)], axis=2)
+    return np.ascontiguousarray(words).view(np.uint64).reshape(-1)
 
 
 def msm_device(points, scalars, ctx: CurveCtx, c: int):
     """points (3, L, n) Montgomery, scalars (Lr, n) plain limbs -> (3, L, 1).
 
-    Two-step: a tiny jitted pass computes the max bucket occupancy, the host
-    rounds it up to a multiple of 8 (so the handful of distinct values hit
-    the jit cache), and the main kernel runs with a STATIC round count."""
-    rounds = int(_max_occupancy(scalars, ctx, c))
-    rounds = (rounds + 7) // 8 * 8
-    return _msm_device_jit(points, scalars, ctx, c, rounds)
+    Guess-and-verify round count: the STATIC round count comes from the
+    input-independent `occupancy_guess` (so one compiled kernel serves all
+    inputs of a shape), the kernel reports the true occupancy, and the rare
+    tail-event overflow re-dispatches with a bigger static count."""
+    rounds = occupancy_guess(points.shape[2], ctx, c)
+    while True:
+        out, occ = _msm_device_jit(points, scalars, ctx, c, rounds)
+        occ = int(occ)
+        if occ <= rounds:
+            return out
+        rounds = (occ + 15) // 16 * 16
 
 
 def msm(points, scalars, cv=None):

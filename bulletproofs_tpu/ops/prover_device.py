@@ -1,0 +1,596 @@
+"""Device-resident R1CS prover vector path + implicit-basis IPA.
+
+This is the TPU-native evaluation of the prover's O(n) work
+(`/root/reference/src/r1cs/prover.rs:322-593`): the z-fold of the constraint
+rows (`prover.rs:142-184`), the l(x)/r(x) degree-3 vector polynomials and
+t(x) = <l, r> (`prover.rs:458-488`, `utils/vector_poly.rs:79-97`), the
+witness-commitment MSMs (`prover.rs:336-366`), and the whole inner-product
+argument (`src/ipp.rs:35-202`).  The host keeps only what is inherently
+serial and tiny: circuit construction, the Fiat-Shamir transcript, blinding
+draws, and the handful of single-point Pedersen commitments.
+
+Design notes (TPU-first, no reference analog):
+
+- **Implicit-basis IPA.**  The reference folds the G/H basis vectors every
+  round with per-element 2-point ladders (`ipp.rs:115-130`) — 500+
+  sequential group ops per element.  Here the folded bases are never
+  materialized: after j rounds the folded basis is G'_i = sum_{k = i mod
+  n_j} rG_k G_k, where rG_k is a per-ORIGINAL-point running product of
+  challenges (the prover-side analog of the verifier's s-vector,
+  `ipp.rs:262-315`).  Each round's L/R commitments then become ONE
+  fixed-shape two-scalar-set Pippenger MSM over the ORIGINAL [G | H | Q]
+  point table with masked/tiled scalar vectors.  Every round reuses the
+  same compiled MSM kernel (no shrinking-shape compile storm), all EC work
+  is bucket accumulation (~40 adds/point instead of ~500), and the masked
+  half of each scalar vector is exactly zero so the digit-0 exclusion in
+  the scheduler skips it for free.
+
+- **Shape discipline.**  Everything is padded to the circuit's power-of-two
+  n and stays (Lr, n); per-round halving is expressed as static reshapes
+  over the same buffers, so the only per-size compiles are cheap elementwise
+  kernels (persistently cached).
+
+- **z-fold as gather + dense tree-sum.**  `flattened_constraints` is a
+  sparse accumulation over constraint terms.  Scatter-adds serialize on
+  TPU, so the host lays the terms out per-variable as a dense (n, T_max)
+  table at prove time (list bookkeeping only, no field math) and the device
+  evaluates w[v] = sum_t z^(row[v,t]+1) * coeff[v,t] with one row-gather of
+  z-powers and a T_max-step tree sum.
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import curve
+from . import ec_jax as ej
+from . import field_jax as fj
+from . import msm as msm_mod
+from .field_host import Scalar
+
+from functools import partial
+
+# Minimum padded circuit size for the device prover path.
+DEVICE_PROVER_MIN_N = int(os.environ.get("BP_PROVER_DEVICE_MIN", "256"))
+
+
+# ---------------------------------------------------------------------------
+# Small helpers
+# ---------------------------------------------------------------------------
+
+def _to_plain(x, fr):
+    one = jnp.zeros_like(x).at[0].set(1)
+    return fj.mont_mul(x, one, fr)
+
+
+def _mont(fr, vals):
+    """Host ints -> (Lr, n) Montgomery device array."""
+    return fr.to_mont([v.v if hasattr(v, "v") else int(v) for v in vals])
+
+
+def _inner_mont(a, b, fr):
+    """<a, b> over F_r, Montgomery in/out: elementwise mul + halving tree."""
+    prod = fj.mont_mul(a, b, fr)
+    n = prod.shape[-1]
+    while n > 1:
+        half = (n + 1) // 2
+        left = prod[..., :half]
+        right = prod[..., half:n]
+        if right.shape[-1] < half:
+            right = jnp.concatenate(
+                [right, jnp.zeros(right.shape[:-1] +
+                                  (half - right.shape[-1],), right.dtype)],
+                axis=-1)
+        prod = fj.add_mod(left, right, fr)
+        n = half
+    return prod                                     # (Lr, ..., 1)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _pow_table(x_m, q, fr):
+    """x (Lr, 1) Montgomery -> (Lr, q) powers [x^1, x^2, ..., x^q].
+
+    log2(q) full-width passes: power-of-two squarings of x combined per
+    index bit (data-parallel; a sequential scan would serialize q steps)."""
+    n_bits = max(1, (q - 1).bit_length())
+    out = jnp.broadcast_to(x_m, (fr.L, q))          # x^1 * (rest of bits)
+    iota = jnp.arange(q, dtype=jnp.uint32)
+    sq = x_m
+    for k in range(n_bits):
+        mult = fj.mont_mul(out, sq, fr)
+        out = jnp.where(((iota >> k) & 1) == 1, mult, out)
+        if k + 1 < n_bits:
+            sq = fj.mont_mul(sq, sq, fr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# z-fold of constraints (device flattened_constraints, prover.rs:142-184)
+# ---------------------------------------------------------------------------
+
+def build_zfold_tables(constraints, n, m, include_one=False):
+    """Host prep: per-variable dense term tables (list bookkeeping only).
+
+    Returns {kind: (rows, valid, coeffs, T, width)} with width n for L/R/O
+    and m for V; T = max terms per variable (tiny for real circuits).
+    Sign: V (and the verifier's ONE/constant, `verifier.rs:181-184`)
+    coefficients enter negatively — handled by the caller.
+    include_one: also collect the constant terms (verifier wc,
+    `verifier.rs:149-193`; the prover skips them, `prover.rs:142-184`).
+    """
+    from ..r1cs.linear_combination import (COMMITTED, MULT_LEFT, MULT_OUTPUT,
+                                           MULT_RIGHT, ONE)
+    per = {MULT_LEFT: [[] for _ in range(n)],
+           MULT_RIGHT: [[] for _ in range(n)],
+           MULT_OUTPUT: [[] for _ in range(n)],
+           COMMITTED: [[] for _ in range(m)]}
+    if include_one:
+        per[ONE] = [[]]
+    from ..r1cs.linear_combination import ONE as _ONE
+    for q_i, lc in enumerate(constraints):
+        for var, coeff in lc.terms:
+            bucket = per.get(var.kind)
+            if bucket is not None:
+                idx = 0 if var.kind == _ONE else var.index
+                bucket[idx].append((q_i, coeff.v))
+    out = {}
+    for kind, table in per.items():
+        T = max(1, max((len(t) for t in table), default=1))
+        width = len(table)
+        rows = np.zeros((width, T), dtype=np.int32)
+        valid = np.zeros((width, T), dtype=np.uint32)
+        coeffs = []
+        for v_i, terms in enumerate(table):
+            for t_i, (q_i, cv) in enumerate(terms):
+                rows[v_i, t_i] = q_i
+                valid[v_i, t_i] = 1
+                coeffs.append(cv)
+            coeffs.extend([0] * (T - len(terms)))
+        out[kind] = (rows, valid, coeffs, T, width)
+    return out
+
+
+def zfold_device(tables, z, q, fr, padded_n):
+    """Device z-fold: w[v] = sum_t z^(row+1)*coeff.  Returns mont-form
+    wL, wR, wO each (Lr, padded_n) and wV (Lr, m) (V with negated sign)."""
+    from ..r1cs.linear_combination import (COMMITTED, MULT_LEFT, MULT_OUTPUT,
+                                           MULT_RIGHT)
+    z_m = _mont(fr, [z])
+    zpow = _pow_table(z_m, max(q, 1), fr)            # (Lr, q): z^1..z^q
+    zpow_rows = jnp.transpose(zpow, (1, 0))          # (q, Lr) for row gather
+
+    outs = {}
+    for kind in (MULT_LEFT, MULT_RIGHT, MULT_OUTPUT, COMMITTED):
+        rows, valid, coeffs, T, width = tables[kind]
+        coeff_m = fj._to_mont_jit(jnp.asarray(
+            fj.ints_to_limbs(coeffs, fr.L)), fr)     # (Lr, width*T)
+        w = _zfold_kernel(zpow_rows, jnp.asarray(rows),
+                          jnp.asarray(valid), coeff_m, fr, T, width)
+        outs[kind] = w
+    wL, wR, wO = (outs[MULT_LEFT], outs[MULT_RIGHT], outs[MULT_OUTPUT])
+    wV = fj.neg_mod(outs[COMMITTED], fr)             # V terms subtract
+
+    def pad(w):
+        if w.shape[-1] < padded_n:
+            w = jnp.concatenate(
+                [w, jnp.zeros((fr.L, padded_n - w.shape[-1]), w.dtype)],
+                axis=-1)
+        return w
+    return pad(wL), pad(wR), pad(wO), wV
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _zfold_kernel(zpow_rows, rows, valid, coeff_m, fr, T, width):
+    zp = zpow_rows[rows.reshape(-1)]                 # (width*T, Lr)
+    zp = jnp.transpose(zp, (1, 0))                   # (Lr, width*T)
+    prod = fj.mont_mul(zp, coeff_m, fr)              # (Lr, width*T)
+    prod = prod.reshape(fr.L, width, T)
+    prod = jnp.where(valid[None] == 1, prod, 0)
+    # tree-sum over the T axis (T is tiny)
+    t = T
+    while t > 1:
+        half = (t + 1) // 2
+        left = prod[..., :half]
+        right = prod[..., half:t]
+        if right.shape[-1] < half:
+            right = jnp.concatenate(
+                [right, jnp.zeros(right.shape[:-1] +
+                                  (half - right.shape[-1],), right.dtype)],
+                axis=-1)
+        prod = fj.add_mod(left, right, fr)
+        t = half
+    return prod[..., 0]                              # (Lr, width)
+
+
+# ---------------------------------------------------------------------------
+# l(x)/r(x)/t(x) vector-poly kernels (prover.rs:458-488)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(9,))
+def _t_poly_kernel(aL, aR, aO, sL, sR, wL, wR, wO, y_m, fr):
+    """All inputs (Lr, N) Montgomery (N = padded_n), y (Lr, 1).
+
+    Returns (t1..t6 each (Lr, 1) mont, plus the l/r coefficient vectors
+    needed later for l(x), r(x) evaluation)."""
+    N = aL.shape[-1]
+    y_pows = _pow_shifted(y_m, N, fr)                # [1, y, .., y^{N-1}]
+    y_inv  = fj.inv_mont(y_m, fr)
+    y_inv_pows = _pow_shifted(y_inv, N, fr)
+
+    l1 = fj.add_mod(aL, fj.mont_mul(y_inv_pows, wR, fr), fr)
+    l2 = aO
+    l3 = sL
+    r0 = fj.sub_mod(wO, y_pows, fr)
+    r1 = fj.add_mod(fj.mont_mul(y_pows, aR, fr), wL, fr)
+    r3 = fj.mont_mul(y_pows, sR, fr)
+
+    # t(x) = <l, r> with l0 = 0, r2 = 0 (special_inner_product,
+    # vector_poly.rs:79-97): 9 pairwise inner products, one stacked pass
+    lhs = jnp.stack([l1, l1, l2, l2, l3, l1, l3, l2, l3], axis=1)
+    rhs = jnp.stack([r0, r1, r0, r1, r0, r3, r1, r3, r3], axis=1)
+    ips = _inner_mont(lhs, rhs, fr)[..., 0]          # (Lr, 9)
+    t1 = ips[:, 0:1]
+    t2 = fj.add_mod(ips[:, 1:2], ips[:, 2:3], fr)
+    t3 = fj.add_mod(ips[:, 3:4], ips[:, 4:5], fr)
+    t4 = fj.add_mod(ips[:, 5:6], ips[:, 6:7], fr)
+    t5 = ips[:, 7:8]
+    t6 = ips[:, 8:9]
+    t16 = jnp.concatenate([t1, t2, t3, t4, t5, t6], axis=1)
+    return t16, l1, l2, l3, r0, r1, r3, y_inv_pows
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _pow_shifted(x_m, n, fr):
+    """[1, x, x^2, ..., x^{n-1}] (Lr, n) from x (Lr, 1) Montgomery."""
+    one = jnp.broadcast_to(jnp.asarray(fr.one_m), (fr.L, 1))
+    if n == 1:
+        return one
+    return jnp.concatenate([one, _pow_table(x_m, n - 1, fr)], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _lr_eval_kernel(l1, l2, l3, r0, r1, r3, x_m, fr):
+    """l(x) = x(l1 + x(l2 + x l3)); r(x) = r0 + x(r1 + x^2 r3)."""
+    lx = fj.mont_mul(
+        x_m, fj.add_mod(l1, fj.mont_mul(
+            x_m, fj.add_mod(l2, fj.mont_mul(x_m, l3, fr), fr), fr), fr), fr)
+    x2 = fj.mont_mul(x_m, x_m, fr)
+    rx = fj.add_mod(r0, fj.mont_mul(
+        x_m, fj.add_mod(r1, fj.mont_mul(x2, r3, fr), fr), fr), fr)
+    return lx, rx
+
+
+# ---------------------------------------------------------------------------
+# Implicit-basis IPA (device create_ipp — ipp.rs:35-202, same transcript)
+# ---------------------------------------------------------------------------
+
+def _swap_halves(A, n_j):
+    """(Lr, n): exchange the two halves of every contiguous n_j block."""
+    Lr, n = A.shape
+    half = n_j // 2
+    Ar = A.reshape(Lr, n // n_j, 2, half)
+    return Ar[:, :, ::-1, :].reshape(Lr, n)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _ipa_round_scalars(A, B, rG, rH, n_j, fr):
+    """Build the round's L/R MSM scalar sets over the ORIGINAL [G|H|Q]
+    table.  Returns plain-form (2, Lr, 2n+2) scalars; the final +2 lanes
+    are [c, 0-pad] per set (c_L for L, c_R for R) aligned with a point
+    table [G | H | Q | identity]."""
+    Lr, n = A.shape
+    half = n_j // 2
+    bit = jnp.asarray(np.tile(
+        np.r_[np.zeros(half, np.uint32), np.ones(half, np.uint32)],
+        n // n_j))
+
+    a_j = A[:, :n_j]
+    b_j = B[:, :n_j]
+    c_L = _inner_mont(a_j[:, :half], b_j[:, half:], fr)
+    c_R = _inner_mont(a_j[:, half:], b_j[:, :half], fr)
+
+    swapA = _swap_halves(A, n_j)
+    swapB = _swap_halves(B, n_j)
+    prodG = fj.mont_mul(swapA, rG, fr)
+    prodH = fj.mont_mul(swapB, rH, fr)
+    zero = jnp.zeros((Lr, 1), jnp.uint32)
+
+    sG_L = jnp.where(bit == 1, prodG, 0)
+    sG_R = jnp.where(bit == 0, prodG, 0)
+    sH_L = jnp.where(bit == 0, prodH, 0)
+    sH_R = jnp.where(bit == 1, prodH, 0)
+
+    L_scal = jnp.concatenate([sG_L, sH_L, c_L, zero], axis=-1)
+    R_scal = jnp.concatenate([sG_R, sH_R, c_R, zero], axis=-1)
+    # -> plain form (limbs stay on axis 0 for the kernels), stack sets last
+    return jnp.stack([_to_plain(L_scal, fr), _to_plain(R_scal, fr)],
+                     axis=0)                         # (2, Lr, 2n+2)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _ipa_round_update(A, B, rG, rH, u_m, u_inv_m, n_j, fr):
+    Lr, n = A.shape
+    half = n_j // 2
+    bit = jnp.asarray(np.tile(
+        np.r_[np.zeros(half, np.uint32), np.ones(half, np.uint32)],
+        n // n_j))
+    swapA = _swap_halves(A, n_j)
+    swapB = _swap_halves(B, n_j)
+    lowA = jnp.where(bit == 1, swapA, A)
+    highA = jnp.where(bit == 1, A, swapA)
+    lowB = jnp.where(bit == 1, swapB, B)
+    highB = jnp.where(bit == 1, B, swapB)
+    A2 = fj.add_mod(fj.mont_mul(lowA, u_m, fr),
+                    fj.mont_mul(highA, u_inv_m, fr), fr)
+    B2 = fj.add_mod(fj.mont_mul(lowB, u_inv_m, fr),
+                    fj.mont_mul(highB, u_m, fr), fr)
+    uu = jnp.where(bit == 1, jnp.broadcast_to(u_m, rG.shape),
+                   jnp.broadcast_to(u_inv_m, rG.shape))
+    uu_inv = jnp.where(bit == 1, jnp.broadcast_to(u_inv_m, rH.shape),
+                       jnp.broadcast_to(u_m, rH.shape))
+    rG2 = fj.mont_mul(rG, uu, fr)
+    rH2 = fj.mont_mul(rH, uu_inv, fr)
+    return A2, B2, rG2, rH2
+
+
+def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
+                        window=None):
+    """Device IPA prover with implicit basis folding.
+
+    pts_dev: (3, L, 2n+2) device table [G | H | Q | identity] (Montgomery).
+    Gf_m/Hf_m: (Lr, n) Montgomery G/H factors (the reference's first-round
+    fold-in, `ipp.rs:68-136`, becomes the s-vector initialization here).
+    A, B: (Lr, n) Montgomery a/b vectors.  Returns (L_vec, R_vec, a, b).
+    """
+    fr = ctx.fr
+    n = A.shape[-1]
+    lg_n = n.bit_length() - 1
+    assert (1 << lg_n) == n
+
+    transcript.innerproduct_domain_sep(n)
+
+    rG, rH = Gf_m, Hf_m
+    L_vec, R_vec = [], []
+    n_j = n
+    while n_j != 1:
+        scal2 = _ipa_round_scalars(A, B, rG, rH, n_j, fr)
+        c = window or msm_mod.pick_window(2 * n + 2)
+        L, R = msm_mod.msm_hybrid(pts_dev, scal2, ctx, c)
+        transcript.commit_point(b"L", L)
+        transcript.commit_point(b"R", R)
+        L_vec.append(L)
+        R_vec.append(R)
+
+        u = transcript.challenge_scalar(b"u")
+        u_inv = u.inverse()
+        u_m = fr.to_mont([u.v])
+        u_inv_m = fr.to_mont([u_inv.v])
+        A, B, rG, rH = _ipa_round_update(A, B, rG, rH, u_m, u_inv_m,
+                                         n_j, fr)
+        n_j //= 2
+
+    a = Scalar(fr.from_mont(A[:, :1])[0])
+    b = Scalar(fr.from_mont(B[:, :1])[0])
+    return L_vec, R_vec, a, b
+
+
+# ---------------------------------------------------------------------------
+# Device prove: drop-in for Prover._prove (same transcript + rng schedule)
+# ---------------------------------------------------------------------------
+
+class _PtsCache:
+    """Content-keyed cache of converted generator-table device arrays
+    (same keying rationale as ops/jax_backend._ConvCache)."""
+
+    def __init__(self, max_entries=8):
+        self.entries = {}
+        self.max = max_entries
+
+    def get(self, points, ctx):
+        sample = (points[0], points[len(points) // 2], points[-1])
+        key = (len(points), ctx.cv.name) + tuple(
+            (p.X, p.Y, p.Z) for p in sample)
+        hit = self.entries.get(key)
+        if hit is None:
+            if len(self.entries) >= self.max:
+                self.entries.clear()
+            hit = self.entries[key] = ej.to_device_points(points, ctx)
+        return hit
+
+
+_pts_cache = _PtsCache()
+
+
+def _plain_scalars(vals, fr):
+    """Host Scalars/ints -> (Lr, n) plain-form limb array."""
+    return jnp.asarray(fj.ints_to_limbs(
+        [v.v if hasattr(v, "v") else int(v) for v in vals], fr.L))
+
+
+def device_prove_available(n_hint):
+    """Gate: jax backend importable and circuit big enough to win."""
+    from ..backend import get_backend
+    if n_hint < DEVICE_PROVER_MIN_N:
+        return False
+    be = get_backend(2 * n_hint + 1)
+    return getattr(be, "name", "") == "jax"
+
+
+def prove_device(prover, G, H):
+    """Device-path `Prover.prove` (`prover.rs:322-593`): bit-identical
+    transcript/blinding schedule to `r1cs/prover.py:_prove`, with every O(n)
+    step on the TPU.  Host touches: transcript, rng draws, the 5 T_i
+    Pedersen commitments, and the per-round (L, R) transcript sync."""
+    from ..utils.errors import InvalidGeneratorsLength
+    from ..utils.vector_poly import Poly6
+    from ..ops.field_host import random_scalars, inner_product
+    from ..ops.ec_host import commit_to_field_element
+    from ..r1cs.proof import R1CSProof
+
+    tr = prover.transcript
+    rng = prover.rng
+    cv = prover.g.cv
+    ctx = ej.CurveCtx(cv)
+    fr = ctx.fr
+
+    tr.append_u64(b"m", len(prover.v))
+
+    n1 = len(prover.a_L)
+    if len(G) < n1:
+        raise InvalidGeneratorsLength()
+
+    i_blinding1 = Scalar.random(rng)
+    o_blinding1 = Scalar.random(rng)
+    s_blinding1 = Scalar.random(rng)
+    s_L1 = random_scalars(n1, rng)
+    s_R1 = random_scalars(n1, rng)
+
+    # ONE 3-set MSM over [G_n1 | H_n1 | h] for A_I1 / A_O1 / S1
+    # (`prover.rs:336-366`); A_O1's H-lane scalars are zero and cost nothing
+    # (digit-0 exclusion).
+    pts1 = jnp.concatenate(
+        [_pts_cache.get(G[:n1], ctx), _pts_cache.get(H[:n1], ctx),
+         ej.to_device_points([prover.h], ctx)], axis=2)
+    zero_n1 = [Scalar.zero()] * n1
+    sets1 = jnp.stack([
+        _plain_scalars(prover.a_L + prover.a_R + [i_blinding1], fr),
+        _plain_scalars(prover.a_O + zero_n1 + [o_blinding1], fr),
+        _plain_scalars(s_L1 + s_R1 + [s_blinding1], fr)], axis=0)
+    A_I1, A_O1, S1 = msm_mod.msm_hybrid(pts1, sets1, ctx)
+
+    tr.commit_point(b"A_I1", A_I1)
+    tr.commit_point(b"A_O1", A_O1)
+    tr.commit_point(b"S1", S1)
+
+    prover._create_randomized_constraints()
+
+    n = len(prover.a_L)
+    n2 = n - n1
+    padded_n = 1 if n == 0 else 1 << (n - 1).bit_length()
+    pad = padded_n - n
+    if len(G) < padded_n:
+        raise InvalidGeneratorsLength()
+
+    has_phase2 = n2 > 0
+    if has_phase2:
+        i_blinding2 = Scalar.random(rng)
+        o_blinding2 = Scalar.random(rng)
+        s_blinding2 = Scalar.random(rng)
+    else:
+        i_blinding2 = o_blinding2 = s_blinding2 = Scalar.zero()
+    s_L2 = random_scalars(n2, rng)
+    s_R2 = random_scalars(n2, rng)
+
+    if has_phase2:
+        pts2 = jnp.concatenate(
+            [_pts_cache.get(G[n1:n], ctx), _pts_cache.get(H[n1:n], ctx),
+             ej.to_device_points([prover.h], ctx)], axis=2)
+        zero_n2 = [Scalar.zero()] * n2
+        sets2 = jnp.stack([
+            _plain_scalars(prover.a_L[n1:] + prover.a_R[n1:]
+                           + [i_blinding2], fr),
+            _plain_scalars(prover.a_O[n1:] + zero_n2 + [o_blinding2], fr),
+            _plain_scalars(s_L2 + s_R2 + [s_blinding2], fr)], axis=0)
+        A_I2, A_O2, S2 = msm_mod.msm_hybrid(pts2, sets2, ctx)
+    else:
+        ident = type(prover.g).identity(cv)
+        A_I2 = A_O2 = S2 = ident
+
+    tr.commit_point(b"A_I2", A_I2)
+    tr.commit_point(b"A_O2", A_O2)
+    tr.commit_point(b"S2", S2)
+
+    y = tr.challenge_scalar(b"y")
+    z = tr.challenge_scalar(b"z")
+
+    # device z-fold (prover.rs:142-184)
+    q = len(prover.constraints)
+    tables = build_zfold_tables(prover.constraints, n, len(prover.v))
+    wL, wR, wO, wV_m = zfold_device(tables, z, q, fr, padded_n)
+
+    # device l/r/t vector polys (prover.rs:458-488)
+    def mont_padded(vals):
+        return fr.to_mont([v.v for v in vals] + [0] * pad)
+
+    aL_m = mont_padded(prover.a_L)
+    aR_m = mont_padded(prover.a_R)
+    aO_m = mont_padded(prover.a_O)
+    sL_m = mont_padded(s_L1 + s_L2)
+    sR_m = mont_padded(s_R1 + s_R2)
+    y_m = _mont(fr, [y])
+    t16, l1, l2, l3, r0, r1, r3, y_inv_pows = _t_poly_kernel(
+        aL_m, aR_m, aO_m, sL_m, sR_m, wL, wR, wO, y_m, fr)
+    t_ints = fr.from_mont(t16)
+    t1s, t2s, t3s, t4s, t5s, t6s = [Scalar(v) for v in t_ints]
+    t_poly = Poly6(t1s, t2s, t3s, t4s, t5s, t6s)
+
+    t_1_blinding = Scalar.random(rng)
+    t_3_blinding = Scalar.random(rng)
+    t_4_blinding = Scalar.random(rng)
+    t_5_blinding = Scalar.random(rng)
+    t_6_blinding = Scalar.random(rng)
+
+    g_, h_ = prover.g, prover.h
+    T_1 = commit_to_field_element(g_, h_, t1s, t_1_blinding)
+    T_3 = commit_to_field_element(g_, h_, t3s, t_3_blinding)
+    T_4 = commit_to_field_element(g_, h_, t4s, t_4_blinding)
+    T_5 = commit_to_field_element(g_, h_, t5s, t_5_blinding)
+    T_6 = commit_to_field_element(g_, h_, t6s, t_6_blinding)
+
+    tr.commit_point(b"T_1", T_1)
+    tr.commit_point(b"T_3", T_3)
+    tr.commit_point(b"T_4", T_4)
+    tr.commit_point(b"T_5", T_5)
+    tr.commit_point(b"T_6", T_6)
+
+    u = tr.challenge_scalar(b"u")
+    x = tr.challenge_scalar(b"x")
+
+    wV = [Scalar(v) for v in fr.from_mont(wV_m)]
+    t_2_blinding = inner_product(wV, prover.v_blinding)
+    t_blinding_poly = Poly6(t_1_blinding, t_2_blinding, t_3_blinding,
+                            t_4_blinding, t_5_blinding, t_6_blinding)
+
+    t_x = t_poly.eval(x)
+    t_x_blinding = t_blinding_poly.eval(x)
+
+    x_m = _mont(fr, [x])
+    l_vec, r_vec = _lr_eval_kernel(l1, l2, l3, r0, r1, r3, x_m, fr)
+
+    i_blinding = i_blinding1 + u * i_blinding2
+    o_blinding = o_blinding1 + u * o_blinding2
+    s_blinding = s_blinding1 + u * s_blinding2
+    e_blinding = x * (i_blinding + x * (o_blinding + x * s_blinding))
+
+    tr.commit_scalar(b"t_x", t_x)
+    tr.commit_scalar(b"t_x_blinding", t_x_blinding)
+    tr.commit_scalar(b"e_blinding", e_blinding)
+
+    w = tr.challenge_scalar(b"w")
+    Q = prover.g * w
+
+    # G_factors = [1]*n1 + [u]*(n2+pad); H_factors = y^-i * G_factors
+    u_m = _mont(fr, [u])
+    one_col = jnp.broadcast_to(jnp.asarray(fr.one_m), (fr.L, n1))
+    u_cols = jnp.broadcast_to(u_m, (fr.L, n2 + pad))
+    Gf_m = jnp.concatenate([one_col, u_cols], axis=-1)
+    Hf_m = fj.mont_mul(y_inv_pows, Gf_m, fr)
+
+    pts_ipa = jnp.concatenate(
+        [_pts_cache.get(G[:padded_n], ctx), _pts_cache.get(H[:padded_n], ctx),
+         ej.to_device_points([Q], ctx),
+         jnp.asarray(ctx.identity)], axis=2)
+
+    L_vec, R_vec, a_fin, b_fin = create_ipp_implicit(
+        tr, Gf_m, Hf_m, pts_ipa, l_vec, r_vec, ctx)
+    from .. import ipp as ipp_mod
+    ipp_proof = ipp_mod.InnerProductArgumentProof(
+        L=L_vec, R=R_vec, a=a_fin, b=b_fin)
+
+    return R1CSProof(A_I1=A_I1, A_O1=A_O1, S1=S1, A_I2=A_I2, A_O2=A_O2,
+                     S2=S2, T_1=T_1, T_3=T_3, T_4=T_4, T_5=T_5, T_6=T_6,
+                     t_x=t_x, t_x_blinding=t_x_blinding,
+                     e_blinding=e_blinding, ipp_proof=ipp_proof)

@@ -57,7 +57,9 @@ def msm_sharded(points, scalars, ctx: CurveCtx, c: int, axis=AXIS,
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
-    buckets = msm_mod.bucket_accumulate(points, digits, ctx, c, n_rounds)
+    plan = msm_mod.window_plan(ctx, c)
+    buckets, _ = msm_mod.bucket_accumulate(points, digits, ctx, c, n_rounds,
+                                           plan=plan)
     buckets = _allreduce_buckets(buckets, ctx, axis)
     return msm_mod.combine_buckets(buckets, ctx, c)
 

@@ -226,6 +226,9 @@ class Prover(ConstraintSystem):
         metrics.incr("multipliers", self.num_multipliers())
         metrics.incr("constraints", self.num_constraints())
         with metrics.span("prove"):
+            from ..ops import prover_device
+            if prover_device.device_prove_available(len(self.a_L)):
+                return prover_device.prove_device(self, G, H)
             return self._prove(G, H)
 
     def _prove(self, G, H) -> R1CSProof:

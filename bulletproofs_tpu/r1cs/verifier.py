@@ -133,6 +133,9 @@ class Verifier(ConstraintSystem):
         from ..utils.metrics import metrics
         metrics.incr("verify_calls")
         with metrics.span("verify"):
+            from ..ops import verifier_device
+            if verifier_device.device_verify_available(self.num_vars):
+                return verifier_device.verify_device(self, proof, g, h, G, H)
             return self._verify(proof, g, h, G, H)
 
     def _verify(self, proof, g, h, G, H):

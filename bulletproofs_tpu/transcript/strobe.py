@@ -3,7 +3,7 @@ the merlin crate): `meta_AD`, `AD`, `PRF` plus `KEY` (for transcript RNG).
 
 Byte-exact behavior matters: every Fiat-Shamir challenge in the protocol flows
 through this state machine (reference dependency `Cargo.toml:11`).  Validated
-against merlin's published conformance test vector (see tests/test_merlin.py).
+against merlin's published conformance test vector (tests/test_transcript.py).
 """
 
 from .keccak import keccak_f1600

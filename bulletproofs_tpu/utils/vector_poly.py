@@ -5,9 +5,8 @@ VecPoly1/Poly2 exist for API parity; the prover path uses VecPoly3's
 `special_inner_product` (l.0 == 0 and r.2 == 0, so t0 == t2-term structure
 collapses to a Poly6 with no t0, `vector_poly.rs:79-97`).
 
-These run on the host over Scalar lists during circuit-sized (O(n)) work only
-in the host backend; the device backend evaluates the same polynomials with
-batched limb kernels (ops/field_jax.py) — see r1cs/prover.py.
+These run on the host over Scalar lists; the device prover path evaluates the
+same polynomials with batched limb kernels instead (ops/prover_device.py).
 """
 
 from ..ops.field_host import Scalar, inner_product

@@ -135,8 +135,12 @@ struct Field {
 struct Curve {
     Field fp;
     int Lr;                 // scalar limb count (plain form scalars)
-    u64 b3;                 // 3*b as a small integer
+    u64 b3;                 // 3*b as a small integer (a = 0 curves)
     u64 one_m[MAXL];        // Montgomery 1 in fp
+    bool a_nonzero;         // general Weierstrass a != 0 (ed25519)
+    u64 a_m[MAXL];          // a   in Montgomery form
+    u64 a2_m[MAXL];         // a^2 in Montgomery form
+    u64 b3_m[MAXL];         // 3b  in Montgomery form
 };
 
 struct Pt { u64 X[MAXL], Y[MAXL], Z[MAXL]; };
@@ -146,7 +150,9 @@ static void pt_identity(const Curve& c, Pt& p) {
     for (int j = 0; j < c.fp.L; j++) p.Y[j] = c.one_m[j];
 }
 
-// Complete projective add, RCB16 a=0 (same formulas as ops/ec_host.py)
+// Complete projective add, RCB16 (same formulas as ops/ec_host.py):
+// the a=0 specialization (algorithm 7) for the pairing curves/secp256k1,
+// the general-a algorithm 1 for ed25519's Weierstrass form.
 static void pt_add(const Curve& c, const Pt& P, const Pt& Q, Pt& R) {
     const Field& f = c.fp;
     u64 t0[MAXL], t1[MAXL], t2[MAXL], xy[MAXL], yz[MAXL], xz[MAXL];
@@ -162,6 +168,30 @@ static void pt_add(const Curve& c, const Pt& P, const Pt& Q, Pt& R) {
     f.mont_mul(sa, sb, yz); f.sub(yz, t1, yz); f.sub(yz, t2, yz);
     f.add(P.X, P.Z, sa); f.add(Q.X, Q.Z, sb);
     f.mont_mul(sa, sb, xz); f.sub(xz, t0, xz); f.sub(xz, t2, xz);
+
+    if (c.a_nonzero) {
+        // w = a*xz + b3*t2; m = t1 - w; n = t1 + w
+        u64 w[MAXL], u1[MAXL], u4[MAXL];
+        f.mont_mul(c.a_m, xz, w);
+        f.mont_mul(c.b3_m, t2, tmp); f.add(w, tmp, w);
+        f.sub(t1, w, m);
+        f.add(t1, w, n);
+        // u1 = 3*t0 + a*t2
+        f.mul_small(t0, 3, u1);
+        f.mont_mul(c.a_m, t2, tmp); f.add(u1, tmp, u1);
+        // u4 = b3*xz + a*t0 - a^2*t2
+        f.mont_mul(c.b3_m, xz, u4);
+        f.mont_mul(c.a_m, t0, tmp); f.add(u4, tmp, u4);
+        f.mont_mul(c.a2_m, t2, tmp); f.sub(u4, tmp, u4);
+        // X3 = xy*m - yz*u4; Y3 = m*n + u1*u4; Z3 = yz*n + xy*u1
+        f.mont_mul(yz, u4, tmp); f.mont_mul(xy, m, tmp2);
+        f.sub(tmp2, tmp, R.X);
+        f.mont_mul(m, n, tmp); f.mont_mul(u1, u4, tmp2);
+        f.add(tmp, tmp2, R.Y);
+        f.mont_mul(yz, n, tmp); f.mont_mul(xy, u1, tmp2);
+        f.add(tmp, tmp2, R.Z);
+        return;
+    }
 
     u64 b3t2[MAXL];
     f.mul_small(t2, c.b3, b3t2);
@@ -205,7 +235,9 @@ static void pt_scalar_mul(const Curve& c, const Pt& P, const u64* k, Pt& R) {
 
 // ---------------------------------------------------------------------------
 // ABI helpers: params layout (all u64):
-// [Lp, n0inv, mod[8], r2[8], Lr, b3, one_m[8]]  => 28 words
+// [Lp, n0inv, mod[8], r2[8], Lr, b3, one_m[8],
+//  a_nonzero, a_m[8], a2_m[8], b3_m[8]]  => 53 words
+// (a_m/a2_m/b3_m are MONTGOMERY-form constants, used iff a_nonzero)
 // points: n * 3 * Lp plain-form limbs (X, Y, Z projective)
 // ---------------------------------------------------------------------------
 
@@ -219,6 +251,10 @@ static Curve load_curve(const u64* p) {
     c.Lr = (int)p[18];
     c.b3 = p[19];
     memcpy(c.one_m, p + 20, 8 * sizeof(u64));
+    c.a_nonzero = p[28] != 0;
+    memcpy(c.a_m, p + 29, 8 * sizeof(u64));
+    memcpy(c.a2_m, p + 37, 8 * sizeof(u64));
+    memcpy(c.b3_m, p + 45, 8 * sizeof(u64));
     return c;
 }
 
@@ -329,6 +365,53 @@ void bp_scalar_mul_batch(const u64* params, const u64* P, const u64* k,
         load_pt(c, P + i * 3 * L, p);
         pt_scalar_mul(c, p, k + i * c.Lr, r);
         store_pt(c, r, out + i * 3 * L);
+    }
+}
+
+// Hybrid MSM combine: finish the bucket combine of the device Pippenger on
+// the host.  The device computes, per window w of each scalar set, the
+// two-level bucket sums rowsum[w,g] = sum_k B[w, g*K+k] and colsum[w,k] =
+// sum_g B[w, g*K+k] (the WIDE part); this routine does the SERIAL tail —
+// T_w = K*(sum_g g*rowsum) + sum_k k*colsum, then the Horner window combine
+// acc = 2^c*acc + T_w — which on the TPU is a ~300-step latency-bound chain
+// of single-point adds.  nwin = nsets * wins_per_set windows total.
+void bp_combine_rowcol(const u64* params, const u64* rowsum,
+                       const u64* colsum, u64 nwin, u64 gsize, u64 ksize,
+                       u64 cbits, u64 wins_per_set, u64* out) {
+    Curve c = load_curve(params);
+    int L = c.fp.L;
+    std::vector<Pt> totals(nwin);
+    for (u64 w = 0; w < nwin; w++) {
+        // wr = sum_g g * rowsum[w,g]  (descending running sums)
+        Pt running, wr, wc, tmp;
+        pt_identity(c, running);
+        pt_identity(c, wr);
+        for (u64 g = gsize - 1; g >= 1; g--) {
+            load_pt(c, rowsum + (w * gsize + g) * 3 * L, tmp);
+            pt_add(c, running, tmp, running);
+            pt_add(c, wr, running, wr);
+        }
+        pt_identity(c, running);
+        pt_identity(c, wc);
+        for (u64 k = ksize - 1; k >= 1; k--) {
+            load_pt(c, colsum + (w * ksize + k) * 3 * L, tmp);
+            pt_add(c, running, tmp, running);
+            pt_add(c, wc, running, wc);
+        }
+        // totals = K * wr + wc
+        u64 kk = ksize;
+        while (kk > 1) { pt_add(c, wr, wr, wr); kk >>= 1; }
+        pt_add(c, wr, wc, totals[w]);
+    }
+    u64 nsets = nwin / wins_per_set;
+    for (u64 s = 0; s < nsets; s++) {
+        Pt acc;
+        pt_identity(c, acc);
+        for (u64 wi = wins_per_set; wi-- > 0;) {
+            for (u64 d = 0; d < cbits; d++) pt_add(c, acc, acc, acc);
+            pt_add(c, acc, totals[s * wins_per_set + wi], acc);
+        }
+        store_pt(c, acc, out + s * 3 * L);
     }
 }
 

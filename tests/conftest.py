@@ -11,8 +11,9 @@ import os
 # the CPU platform through jax.config before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
 # low scan-unroll: fast XLA-CPU compiles (TPU runs use high unroll)
-# host backend for protocol round-trips (device kernels are
-# covered explicitly in test_device_ops / test_backend_jax)
+# native C++ backend is the default for protocol round-trips; the exact-int
+# host backend is the ground truth in cross-checks (test_cross_backend) and
+# device kernels are covered explicitly in test_device_ops / test_backend_jax
 os.environ.setdefault("BP_BACKEND", "cpp")
 os.environ.setdefault("BP_UNROLL", "4")
 os.environ.setdefault("BP_CIOS_UNROLL", "1")

@@ -1,0 +1,65 @@
+"""Device prover/verifier path (ops/prover_device.py, ops/verifier_device.py).
+
+The device path must be BIT-IDENTICAL to the host protocol: same transcript
+schedule, same blinding draws, byte-equal proofs for the same rng seed
+(`prover.rs:322-593` / `verifier.rs:267-457` parity is established by the
+host tests; these tests pin device == host).
+"""
+
+import random
+
+import pytest
+
+import bulletproofs_tpu as bp
+from bulletproofs_tpu import Prover, Verifier, backend as backend_mod
+from bulletproofs_tpu.models import bound_check
+from bulletproofs_tpu.ops import prover_device, verifier_device
+from bulletproofs_tpu.transcript import ProofTranscript
+from bulletproofs_tpu.utils import get_generators
+from bulletproofs_tpu.utils.errors import R1CSError
+
+
+@pytest.fixture
+def device_path(monkeypatch):
+    old_mode = backend_mod._mode
+    backend_mod.set_backend("jax")
+    monkeypatch.setattr(prover_device, "DEVICE_PROVER_MIN_N", 1)
+    yield
+    backend_mod.set_backend(old_mode)
+
+
+def _build(force_host, G, H, g, h):
+    rng = random.Random(0xD07)
+    tr = ProofTranscript(b"devpath")
+    p = Prover(g, h, tr, rng=rng)
+    comms = bound_check.prove_bounded_num(57, None, 10, 100, 8, rng, p)
+    proof = p._prove(G, H) if force_host else p.prove(G, H)
+    return proof, comms
+
+
+def test_device_prove_bit_exact_and_device_verify(device_path, rng):
+    G = get_generators("G", 64)
+    H = get_generators("H", 64)
+    g = bp.G1.from_msg_hash(b"g")
+    h = bp.G1.from_msg_hash(b"h")
+
+    assert prover_device.device_prove_available(16)
+    proof_dev, comms = _build(False, G, H, g, h)
+    proof_host, _ = _build(True, G, H, g, h)
+    assert proof_dev.to_bytes() == proof_host.to_bytes()
+
+    # device verifier accepts
+    tr = ProofTranscript(b"devpath")
+    v = Verifier(tr)
+    bound_check.verify_bounded_num(10, 100, 8, comms, v)
+    assert verifier_device.device_verify_available(v.num_vars)
+    v.verify(proof_dev, g, h, G, H)
+
+    # device verifier rejects a tampered proof
+    bad = bp.R1CSProof.from_bytes(proof_dev.to_bytes())
+    bad.t_x = bad.t_x + bp.Scalar(1)
+    tr = ProofTranscript(b"devpath")
+    v = Verifier(tr)
+    bound_check.verify_bounded_num(10, 100, 8, comms, v)
+    with pytest.raises(R1CSError):
+        v.verify(bad, g, h, G, H)
