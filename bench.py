@@ -53,11 +53,11 @@ def main():
         base = [G1.random(rnd) for _ in range(256)]
         pts = base * (N // 256)
         P = ej.to_device_points(pts, ctx)
-        npr = np.random.RandomState(0)
-        # uniform scalars below r (rejection on the top limb)
-        sl = npr.randint(0, 1 << 16, size=(ctx.fr.L, N)).astype(np.uint32)
-        sl[ctx.fr.L - 1] %= 0x73ED
-        s = jnp.asarray(sl)
+        # scalars UNIFORM mod r (a modulo-biased top limb skews the top
+        # window's bucket occupancy and triggers the occupancy re-dispatch)
+        from bulletproofs_tpu.ops import field_jax as fjx
+        vals = [rnd.randrange(BLS381.r) for _ in range(N)]
+        s = jnp.asarray(fjx.ints_to_limbs(vals, ctx.fr.L))
 
         t0 = time.time()
         out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW)
@@ -141,6 +141,19 @@ def main():
             backend_mod.set_backend("auto")
         except Exception as e:                       # pragma: no cover
             extras["config2_error"] = repr(e)[:200]
+
+        # ---- roofline: in-loop kernel throughput vs speed-of-light ----
+        try:
+            from bulletproofs_tpu.utils.roofline import roofline_report
+            rr = roofline_report(ctx, batch=8192, iters=32)
+            extras["roofline_ec_add_per_s"] = round(rr["ec_add_per_s"])
+            extras["roofline_ec_add_utilization"] = round(
+                rr["ec_add_utilization"], 3)
+            extras["roofline_mont_mul_per_s"] = round(rr["mont_mul_per_s"])
+            extras["roofline_mont_mul_utilization"] = round(
+                rr["mont_mul_utilization"], 3)
+        except Exception as e:                       # pragma: no cover
+            extras["roofline_error"] = repr(e)[:200]
 
         print(json.dumps({
             "metric": "msm_points_per_s_n65536_bls381",

@@ -45,13 +45,12 @@ def create_ipp(transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec,
     assert len(H_vec) == len(a_vec) == len(b_vec) == n
     assert len(G_factors) == len(H_factors) == n
 
-    # device-resident fast path: all O(n) state stays on the TPU across
-    # rounds, one (L, R) transfer per round for the transcript.  Each IPA
-    # round is a DIFFERENT power-of-two shape, so the first proof at a new
-    # size compiles log2(n) kernel sets — only worth it for large circuits
-    # (or with a warm persistent compile cache), hence the size floor.
+    # device-resident fast path: the implicit-basis IPA
+    # (ops/prover_device.py) — no basis folds, one FIXED MSM shape for every
+    # round (a cold cache compiles one kernel set, not log2(n) of them), one
+    # (L, R) transfer per round for the transcript.
     if n >= DEVICE_IPA_MIN_N and getattr(get_backend(n), "name", "") == "jax":
-        from .ops.ipp_device import create_ipp_device
+        from .ops.prover_device import create_ipp_device
         L_vec, R_vec, a_fin, b_fin = create_ipp_device(
             transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec)
         return InnerProductArgumentProof(L=L_vec, R=R_vec, a=a_fin, b=b_fin)
@@ -148,6 +147,10 @@ def verify_ipp(n, transcript, G_factors, H_factors, P, Q, G, H, a, b, L_vec,
                R_vec):
     """Verifier side: one mega-MSM of size 2n + 2 lg n + 1 checked against P
     (`ipp.rs:204-260`)."""
+    if n >= DEVICE_IPA_MIN_N and getattr(get_backend(n), "name", "") == "jax":
+        from .ops.verifier_device import verify_ipp_device
+        return verify_ipp_device(n, transcript, G_factors, H_factors, P, Q,
+                                 G, H, a, b, L_vec, R_vec)
     u_sq, u_inv_sq, s = verification_scalars(L_vec, R_vec, n, transcript)
 
     g_times_a_times_s = [(a * s_i) * g_i

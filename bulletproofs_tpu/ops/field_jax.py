@@ -348,12 +348,24 @@ def neg_mod(a, ctx: FieldCtx):
     return sub_mod(jnp.broadcast_to(_align(ctx.zero, a)[0], a.shape), a, ctx)
 
 
+_MONT_IMPL = _os.environ.get("BP_MONT_IMPL", "cios")
+
+
 def mont_mul(a, b, ctx: FieldCtx):
     """Montgomery product abR^-1 mod p, canonical in/out.
 
-    Separated REDC: T = a*b; m = (T mod R)*N' mod R; res = (T + m*N)/R,
-    then one conditional subtract (T < pR so res < 2p).
+    Default: fused CIOS scan.  BP_MONT_IMPL=conv selects the convolution
+    form (`mont_mul_conv`) — same math, different movement/ALU trade
+    (NOTES.md).
     """
+    if _MONT_IMPL == "conv":
+        return mont_mul_conv(a, b, ctx)
+    return _mont_mul_cios(a, b, ctx)
+
+
+def _mont_mul_cios(a, b, ctx: FieldCtx):
+    """Fused CIOS scan form: T accumulated as relaxed columns, one limb of
+    `a` per iteration (scatter-free column updates via concat shifts)."""
     L = ctx.L
     a, b = _align(a, b)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -392,6 +404,65 @@ def mont_mul(a, b, ctx: FieldCtx):
         t, _ = jax.lax.scan(body, t0, a, unroll=_CIOS_UNROLL)
     # t holds (a*b + m*N)/R < 2p as relaxed columns
     return _carry_sub_norm(t, ctx.mod, L + 1)[:L]
+
+
+def _diag_sum(P):
+    """(L, M, *batch) -> (L+M, *batch): out[k] = sum_i P[i, k-i] (the
+    polynomial-product column sums) via the pad/flatten/reshape diagonal
+    alignment: pad each row to length M+L, flatten, and re-view with row
+    length M+L-1 — row i of the new view is row i shifted RIGHT by i — so
+    the whole convolution is one reshape + one reduction with NO sequential
+    scan and NO concat-shift data movement per step."""
+    L, M = P.shape[0], P.shape[1]
+    batch = P.shape[2:]
+    D = M + L - 1
+    pad = jnp.zeros((L, L) + batch, P.dtype)
+    X = jnp.concatenate([P, pad], axis=1)            # (L, M+L, *batch)
+    X = X.reshape((L * (M + L),) + batch)[:L * D]
+    X = X.reshape((L, D) + batch)                    # row i shifted by i
+    cols = jnp.sum(X, axis=0)                        # (M+L-1, *batch)
+    return jnp.concatenate(
+        [cols, jnp.zeros((1,) + batch, P.dtype)], axis=0)
+
+
+def mont_mul_conv(a, b, ctx: FieldCtx):
+    """Montgomery product via three convolutions (separated REDC), no
+    sequential limb scan: T = a*b; m = T_lo * N' mod R; out = (T + m*N)/R.
+
+    Partial products are lo/hi split so column sums stay < 2L * 2^17 and
+    never overflow uint32 lanes.  ~3x the multiplies of fused CIOS but
+    every op is one full-width pass — wins when the kernel is movement-
+    bound, loses when ALU-bound; selected by BP_MONT_IMPL (measured on
+    TPU, see NOTES.md)."""
+    L = ctx.L
+    a, b = _align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+
+    def conv(x, y):
+        # (L, *batch) x (L, *batch or 1) -> relaxed columns (2L, *batch)
+        P = x[:, None] * y[None, :]                  # (L, L, *batch) exact
+        lo = _diag_sum(P & MASK)
+        hi = _diag_sum(P >> LIMB_BITS)
+        return lo + jnp.concatenate(
+            [jnp.zeros((1,) + lo.shape[1:], U32), hi[:-1]], axis=0)
+
+    bshape = (L,) + (1,) * len(batch)
+    nprime = jnp.broadcast_to(
+        jnp.asarray(ctx.n_prime).reshape(bshape), (L,) + batch)
+    modb = jnp.broadcast_to(
+        jnp.asarray(ctx.mod).reshape(bshape), (L,) + batch)
+
+    t = conv(a, b)                                   # relaxed < 2^22
+    t_norm = _carry_norm(t, 2 * L)                   # canonical 2L limbs
+    m = _carry_norm(conv(t_norm[:L], nprime)[:L], L)  # (T*N') mod R
+    mn = conv(m, modb)                               # m*N relaxed
+    total = mn + t_norm                              # < 2^23 per column
+    # (T + m*N) / R: the low L limbs cancel; carry-normalize the whole
+    # 2L+1 columns (low-half carries flow into the high half), keep high
+    summed = _carry_norm(total, 2 * L + 1)
+    return _carry_sub_norm(summed[L:], ctx.mod, L + 1)[:L]
 
 
 def mont_sq(a, ctx: FieldCtx):

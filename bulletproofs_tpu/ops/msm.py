@@ -115,7 +115,14 @@ def _slot_grid(digits, B, R, ranges=None, splits=None):
     start_pos = jax.lax.cummax(
         jnp.where(sorted_d != prev, iota, 0), axis=1)
     rank = iota - start_pos
+    return _slot_grid_from(sorted_d, rank, perm, B, R, ranges, splits, n)
 
+
+def _slot_grid_from(sorted_d, rank, values, B, R, ranges, splits, n):
+    """Grid construction from a precomputed (sorted digit, rank, value)
+    triple — `values` are what the bucket loop gathers by (original point
+    ids, or sorted positions when pre-reduction reordered the table)."""
+    W = sorted_d.shape[0]
     if splits is not None:
         bucket = sorted_d + jnp.asarray(ranges) * (rank % jnp.asarray(splits))
         rank = rank // jnp.asarray(splits)
@@ -137,7 +144,7 @@ def _slot_grid(digits, B, R, ranges=None, splits=None):
         jnp.arange(R * B, dtype=jnp.int32) * 2 + 1, (W, R * B))
     dummy_ids = jnp.full((W, R * B), n, jnp.int32)
     k = jnp.concatenate([real_key, dummy_key], axis=1)
-    v = jnp.concatenate([perm, dummy_ids], axis=1)
+    v = jnp.concatenate([values, dummy_ids], axis=1)
     k, v = jax.lax.sort((k, v), dimension=-1, num_keys=1)
 
     slot = k >> 1
@@ -155,33 +162,40 @@ def _slot_grid(digits, B, R, ranges=None, splits=None):
 
 def fold_split_buckets(buckets, ctx, ranges, splits):
     """Undo the sub-bucket spreading: for every window with split > 1, EC-
-    fold bucket d + range*j into bucket d (tree over j), identity elsewhere.
-    buckets (3, L, W, B) -> same shape with true per-digit buckets."""
+    fold bucket d + range*j into bucket d (sequential over the j sub-ranges,
+    which are ragged), identity elsewhere.  buckets (3, L, W, B) -> same
+    shape with true per-digit buckets.  Only the (few) split windows are
+    touched; untouched window runs pass through as whole slices."""
     B = buckets.shape[3]
-    max_split = int(splits.max())
-    if max_split == 1:
+    W = buckets.shape[2]
+    if int(splits.max()) == 1:
         return buckets
-    cols = []
-    for w in range(buckets.shape[2]):
-        col = buckets[:, :, w]                       # (3, L, B)
+    pieces = []
+    done = 0
+    for w in range(W):
         s, rng = int(splits[w, 0]), int(ranges[w, 0])
-        if s > 1:
-            acc = col[..., :rng]
-            j = 1
-            while j < s:                             # tree over sub-buckets
-                acc = ec_add(acc, col[..., j * rng:(j + 1) * rng], ctx)
-                j += 1
-            col = jnp.concatenate(
-                [acc, ctx.identity_like((B - rng,))], axis=-1)
-        cols.append(col[:, :, None])
-    return jnp.concatenate(cols, axis=2)
+        if s == 1:
+            continue
+        if w > done:
+            pieces.append(buckets[:, :, done:w])
+        col = buckets[:, :, w]                       # (3, L, B)
+        acc = col[..., :rng]
+        for j in range(1, s):
+            acc = ec_add(acc, col[..., j * rng:(j + 1) * rng], ctx)
+        pieces.append(jnp.concatenate(
+            [acc, ctx.identity_like((B - rng,))], axis=-1)[:, :, None])
+        done = w + 1
+    if done < W:
+        pieces.append(buckets[:, :, done:])
+    return jnp.concatenate(pieces, axis=2)
 
 
 def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
-                      k_slices=1, plan=None):
+                      k_slices=1, plan=None, pre_reduce=0):
     """points (3, L, n) Montgomery, digits (W, n) -> (buckets (3, L, W, B),
-    occ) where occ is the true max occupancy under `plan` (callers verify
-    n_rounds >= occ and re-dispatch on the rare overflow).
+    occ) where occ is the true max occupancy under `plan` after
+    `pre_reduce` passes (callers verify n_rounds >= occ and re-dispatch
+    with more rounds or more passes on the rare overflow).
 
     n_rounds: STATIC round count.  Static bounds + a precomputed slot grid
     keep every round O(K*W*B): one row index on the grid's major axis, one
@@ -190,6 +204,14 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     plan: optional (ranges, splits) from `window_plan` — sub-bucket
     splitting for low-entropy windows (the field order's top bits), without
     which the top window inflates the GLOBAL round count ~2.5x.
+
+    pre_reduce: k passes of pairwise same-bucket merging over the digit-
+    sorted point table BEFORE scheduling — each pass is ONE full-width
+    shifted EC add that halves every bucket's occupancy, so ANY scalar
+    distribution (e.g. bit-vector witnesses, where thousands of points
+    share one bucket and plain rank-rounds would need occupancy-many
+    rounds) is tamed to ~uniform round counts at a cost of k*W*n adds.
+    k > 0 materializes per-window sorted point copies ((3, L, W, n)).
 
     k_slices: K consecutive rounds per loop iteration against K independent
     bucket arrays (merged with a log2(K) tree at the end).  MEASURED: K=8
@@ -206,17 +228,57 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     while n_rounds % K:
         K //= 2
     ranges, splits = plan if plan is not None else (None, None)
-    grid, found, occ = _slot_grid(digits, B, n_rounds, ranges, splits)
+    identity = ctx.identity
+
+    if pre_reduce:
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
+        sorted_d, perm = jax.lax.sort_key_val(digits, iota, dimension=-1)
+        prev = jnp.concatenate(
+            [jnp.full((W, 1), -1, jnp.int32), sorted_d[:, :-1]], axis=1)
+        start_pos = jax.lax.cummax(
+            jnp.where(sorted_d != prev, iota, 0), axis=1)
+        rank = iota - start_pos
+
+        rows = jnp.transpose(points, (2, 0, 1)).reshape(n, 3 * L)
+        P = rows[perm.reshape(-1)].reshape(W, n, 3, L)
+        P = jnp.transpose(P, (2, 3, 0, 1))          # (3, L, W, n)
+        id_col = identity.reshape(3, L, 1, 1)
+        for p in range(pre_reduce):
+            shift = 1 << p
+            d_next = jnp.concatenate(
+                [sorted_d[:, shift:], jnp.full((W, shift), -1, jnp.int32)],
+                axis=1)
+            P_next = jnp.concatenate(
+                [P[..., shift:], jnp.broadcast_to(
+                    id_col, (3, L, W, shift))], axis=-1)
+            mergeable = ((rank & ((2 << p) - 1)) == 0) & \
+                (d_next == sorted_d) & (sorted_d != 0)
+            merged = ec_add(P, P_next, ctx)
+            P = jnp.where(mergeable[None, None], merged, P)
+        # survivors: rank multiple of 2^k; everything else never scheduled
+        alive = (rank & ((1 << pre_reduce) - 1)) == 0
+        eff_d = jnp.where(alive, sorted_d, 0)
+        eff_rank = rank >> pre_reduce
+        grid, found, occ = _slot_grid_from(
+            eff_d, eff_rank, iota, B, n_rounds, ranges, splits, n)
+        # per-window sorted tables: flat row index = w*n + sorted position
+        points_rows = jnp.transpose(P, (2, 3, 0, 1)).reshape(W * n, 3 * L)
+        w_off = (jnp.arange(W, dtype=jnp.int32) * n).reshape(1, W, 1)
+    else:
+        grid, found, occ = _slot_grid(digits, B, n_rounds, ranges, splits)
+        points_rows = jnp.transpose(points, (2, 0, 1)).reshape(n, 3 * L)
+        w_off = None
+
     grid = grid.reshape(n_rounds // K, K, W, B)
     found = found.reshape(n_rounds // K, K, W, B)
     buckets0 = ctx.identity_like((K, W, B))
-    identity = ctx.identity
-    points_rows = jnp.transpose(points, (2, 0, 1)).reshape(n, 3 * L)
 
     def body(t, buckets):
-        pid = grid[t]                              # (K, W, B)
+        pid = jnp.minimum(grid[t], n - 1)          # (K, W, B)
         ok = found[t]
-        rows = points_rows[jnp.minimum(pid, n - 1).reshape(-1)]
+        if w_off is not None:
+            pid = pid + w_off[None]
+        rows = points_rows[pid.reshape(-1)]
         pts = rows.reshape(K, W, B, 3, L).transpose(3, 4, 0, 1, 2)
         delta = jnp.where(ok[None, None], pts,
                           identity.reshape(3, -1, 1, 1, 1))
@@ -358,14 +420,15 @@ def occupancy_guess(n, ctx, c, margin_sigma=6.0):
     return max(16, (int(guess) + 15) // 16 * 16)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _msm_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _msm_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
+                    pre_reduce=0):
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
     plan = window_plan(ctx, c)
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
-                                     plan=plan)
+                                     plan=plan, pre_reduce=pre_reduce)
     return combine_buckets(buckets, ctx, c), occ
 
 
@@ -377,17 +440,19 @@ def _digits_multi(scalars, ctx, c):
     return jnp.concatenate(digs, axis=0)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _msm_multi_rowcol_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _msm_multi_rowcol_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
+                          pre_reduce=0):
     """S scalar sets against one point vector in ONE bucket pass (the two
     L/R MSMs of an IPA round share the point table and the round grid).
-    Returns (rowsum, colsum, occ) with sums in PLAIN (non-Montgomery) form,
-    ready for the native host combine.  scalars (S, Lr, n)."""
+    Returns (flat rowcol sums, occ) with sums in PLAIN (non-Montgomery)
+    form as ONE array (a single device->host transfer costs one tunnel
+    round-trip; two cost two).  scalars (S, Lr, n)."""
     S = scalars.shape[0]
     digits = _digits_multi(scalars, ctx, c)
     plan = window_plan(ctx, c, n_sets=S)
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
-                                     plan=plan)
+                                     plan=plan, pre_reduce=pre_reduce)
     rowsum, colsum = bucket_rowcol(buckets, ctx, c)
     L = ctx.fp.L
     flat = jnp.concatenate(
@@ -397,9 +462,7 @@ def _msm_multi_rowcol_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
     limbs_first = jnp.transpose(flat, (1, 0, 2)).reshape(L, 3 * m)
     plain = fj.mont_mul(limbs_first,
                         jnp.zeros_like(limbs_first).at[0].set(1), ctx.fp)
-    flat = jnp.transpose(plain.reshape(L, 3, m), (1, 0, 2))
-    ng = rowsum.shape[2] * rowsum.shape[3]
-    return flat[:, :, :ng], flat[:, :, ng:], occ
+    return jnp.transpose(plain.reshape(L, 3, m), (1, 0, 2)), occ
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -415,7 +478,8 @@ def _msm_multi_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
     return combine_from_rowcol(rowsum, colsum, ctx, c, wins_per_set=W), occ
 
 
-def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None):
+def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
+               n_eff: int = None):
     """Multi-set MSM with the serial combine tail on the native host:
     points (3, L, n) Montgomery device, scalars (S, Lr, n) plain device ->
     list of S host G1 results.
@@ -423,40 +487,50 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None):
     This is the production prover/verifier MSM: results cross to the host
     for the Fiat-Shamir transcript anyway, so finishing the ~300-step
     serial combine there (microseconds in C++) instead of on the TPU
-    (latency-bound fori chains) is strictly cheaper."""
+    (latency-bound fori chains) is strictly cheaper.
+
+    n_eff: caller's bound on NON-ZERO scalars per set (the implicit-basis
+    IPA masks half of each vector to zero) — tightens the round guess."""
     import numpy as np
     from .cpp_backend import _CurveABI, get_lib, _ptr
     import ctypes
+
+    from .prover_device import _timed
 
     n = points_dev.shape[2]
     S = scalars_multi.shape[0]
     if c is None:
         c = pick_window(n)
     W = -(-ctx.cv.fr.n_bits // c)
-    rounds = occupancy_guess(n, ctx, c)
+    rounds = occupancy_guess(n_eff or n, ctx, c)
+    pre = 0
     while True:
-        rowsum, colsum, occ = _msm_multi_rowcol_jit(
-            points_dev, scalars_multi, ctx, c, rounds)
-        occ = int(occ)
+        with _timed("msm_kernel"):
+            flat, occ = _msm_multi_rowcol_jit(
+                points_dev, scalars_multi, ctx, c, rounds, pre)
+            occ = int(occ)
         if occ <= rounds:
             break
-        rounds = (occ + 15) // 16 * 16
+        rounds, pre = _escalate(occ, rounds, pre)
     g_bits = (c + 1) // 2
     G, K = 1 << g_bits, 1 << (c - g_bits)
-    rowsum = np.asarray(rowsum)
-    colsum = np.asarray(colsum)
+    with _timed("msm_transfer"):
+        flat = np.asarray(flat)
+    ng = S * W * G
+    rowsum, colsum = flat[:, :, :ng], flat[:, :, ng:]
 
-    abi = _CurveABI(ctx.cv)
-    lib = get_lib()
-    nwin = S * W
-    out = np.zeros(S * 3 * abi.Lp, dtype=np.uint64)
-    lib.bp_combine_rowcol(
-        _ptr(abi.params),
-        _ptr(_limbs16_to_limbs64(rowsum, abi.Lp)),
-        _ptr(_limbs16_to_limbs64(colsum, abi.Lp)),
-        ctypes.c_uint64(nwin), ctypes.c_uint64(G), ctypes.c_uint64(K),
-        ctypes.c_uint64(c), ctypes.c_uint64(W), _ptr(out))
-    return abi.buf_to_points(out, S)
+    with _timed("msm_host_combine"):
+        abi = _CurveABI(ctx.cv)
+        lib = get_lib()
+        nwin = S * W
+        out = np.zeros(S * 3 * abi.Lp, dtype=np.uint64)
+        lib.bp_combine_rowcol(
+            _ptr(abi.params),
+            _ptr(_limbs16_to_limbs64(rowsum, abi.Lp)),
+            _ptr(_limbs16_to_limbs64(colsum, abi.Lp)),
+            ctypes.c_uint64(nwin), ctypes.c_uint64(G), ctypes.c_uint64(K),
+            ctypes.c_uint64(c), ctypes.c_uint64(W), _ptr(out))
+        return abi.buf_to_points(out, S)
 
 
 def _limbs16_to_limbs64(arr, Lp64):
@@ -479,15 +553,28 @@ def msm_device(points, scalars, ctx: CurveCtx, c: int):
 
     Guess-and-verify round count: the STATIC round count comes from the
     input-independent `occupancy_guess` (so one compiled kernel serves all
-    inputs of a shape), the kernel reports the true occupancy, and the rare
-    tail-event overflow re-dispatches with a bigger static count."""
+    inputs of a shape), the kernel reports the true occupancy, and an
+    overflow re-dispatches — degenerate distributions (many equal scalars)
+    escalate to pre-reduction passes instead of more rounds."""
     rounds = occupancy_guess(points.shape[2], ctx, c)
+    pre = 0
     while True:
-        out, occ = _msm_device_jit(points, scalars, ctx, c, rounds)
+        out, occ = _msm_device_jit(points, scalars, ctx, c, rounds, pre)
         occ = int(occ)
         if occ <= rounds:
             return out
-        rounds = (occ + 15) // 16 * 16
+        rounds, pre = _escalate(occ, rounds, pre)
+
+
+def _escalate(occ, rounds, pre):
+    """Overflow policy: mild overflow (tail event) grows the round count;
+    large overflow (degenerate repeated scalars) adds halving passes until
+    the projected occupancy fits."""
+    if occ <= 2 * rounds:
+        return (occ + 15) // 16 * 16, pre
+    import math
+    extra = math.ceil(math.log2(occ / rounds))
+    return rounds, pre + extra
 
 
 def msm(points, scalars, cv=None):

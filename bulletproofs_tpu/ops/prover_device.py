@@ -39,11 +39,48 @@ Design notes (TPU-first, no reference analog):
 """
 
 import os
+import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+_PROFILE = os.environ.get("BP_PROFILE", "") == "1"
+
+
+class _Prof:
+    """Cheap stage timers (BP_PROFILE=1): accumulated per label."""
+
+    def __init__(self):
+        self.acc = {}
+
+    def add(self, label, dt):
+        self.acc[label] = self.acc.get(label, 0.0) + dt
+
+    def dump(self, header):
+        if self.acc:
+            items = sorted(self.acc.items(), key=lambda kv: -kv[1])
+            print(f"BP_PROFILE {header}: " + "  ".join(
+                f"{k}={v*1e3:.0f}ms" for k, v in items), flush=True)
+        self.acc = {}
+
+
+_prof = _Prof()
+
+
+class _timed:
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        if _PROFILE:
+            self.t0 = time.time()
+
+    def __exit__(self, *a):
+        if _PROFILE:
+            _prof.add(self.label, time.time() - self.t0)
+        return False
 
 from ..config import curve
 from . import ec_jax as ej
@@ -356,25 +393,45 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
     L_vec, R_vec = [], []
     n_j = n
     while n_j != 1:
-        scal2 = _ipa_round_scalars(A, B, rG, rH, n_j, fr)
+        with _timed("ipa_scal"):
+            scal2 = _ipa_round_scalars(A, B, rG, rH, n_j, fr)
         c = window or msm_mod.pick_window(2 * n + 2)
-        L, R = msm_mod.msm_hybrid(pts_dev, scal2, ctx, c)
-        transcript.commit_point(b"L", L)
-        transcript.commit_point(b"R", R)
-        L_vec.append(L)
-        R_vec.append(R)
-
-        u = transcript.challenge_scalar(b"u")
-        u_inv = u.inverse()
-        u_m = fr.to_mont([u.v])
-        u_inv_m = fr.to_mont([u_inv.v])
-        A, B, rG, rH = _ipa_round_update(A, B, rG, rH, u_m, u_inv_m,
-                                         n_j, fr)
+        with _timed("ipa_msm"):
+            # each set has <= n+1 non-zero scalars (the masked half is 0)
+            L, R = msm_mod.msm_hybrid(pts_dev, scal2, ctx, c, n_eff=n + 1)
+        with _timed("ipa_transcript"):
+            transcript.commit_point(b"L", L)
+            transcript.commit_point(b"R", R)
+            L_vec.append(L)
+            R_vec.append(R)
+            u = transcript.challenge_scalar(b"u")
+            u_inv = u.inverse()
+        with _timed("ipa_umont"):
+            u_m = fr.to_mont([u.v])
+            u_inv_m = fr.to_mont([u_inv.v])
+        with _timed("ipa_update"):
+            A, B, rG, rH = _ipa_round_update(A, B, rG, rH, u_m, u_inv_m,
+                                             n_j, fr)
         n_j //= 2
 
     a = Scalar(fr.from_mont(A[:, :1])[0])
     b = Scalar(fr.from_mont(B[:, :1])[0])
     return L_vec, R_vec, a, b
+
+
+def create_ipp_device(transcript, Q, G_factors, H_factors, G_vec, H_vec,
+                      a_vec, b_vec):
+    """Host-list adapter for the implicit-basis IPA: drop-in device path for
+    `ipp.create_ipp` (same transcript schedule as `ipp.rs:35-202`)."""
+    from ..config import curve
+    ctx = ej.CurveCtx(curve())
+    fr = ctx.fr
+    pts = jnp.concatenate(
+        [_pts_cache.get(list(G_vec), ctx), _pts_cache.get(list(H_vec), ctx),
+         ej.to_device_points([Q], ctx), jnp.asarray(ctx.identity)], axis=2)
+    return create_ipp_implicit(
+        transcript, _mont(fr, G_factors), _mont(fr, H_factors), pts,
+        _mont(fr, a_vec), _mont(fr, b_vec), ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -451,15 +508,17 @@ def prove_device(prover, G, H):
     # ONE 3-set MSM over [G_n1 | H_n1 | h] for A_I1 / A_O1 / S1
     # (`prover.rs:336-366`); A_O1's H-lane scalars are zero and cost nothing
     # (digit-0 exclusion).
-    pts1 = jnp.concatenate(
-        [_pts_cache.get(G[:n1], ctx), _pts_cache.get(H[:n1], ctx),
-         ej.to_device_points([prover.h], ctx)], axis=2)
-    zero_n1 = [Scalar.zero()] * n1
-    sets1 = jnp.stack([
-        _plain_scalars(prover.a_L + prover.a_R + [i_blinding1], fr),
-        _plain_scalars(prover.a_O + zero_n1 + [o_blinding1], fr),
-        _plain_scalars(s_L1 + s_R1 + [s_blinding1], fr)], axis=0)
-    A_I1, A_O1, S1 = msm_mod.msm_hybrid(pts1, sets1, ctx)
+    with _timed("phase1_convert"):
+        pts1 = jnp.concatenate(
+            [_pts_cache.get(G[:n1], ctx), _pts_cache.get(H[:n1], ctx),
+             ej.to_device_points([prover.h], ctx)], axis=2)
+        zero_n1 = [Scalar.zero()] * n1
+        sets1 = jnp.stack([
+            _plain_scalars(prover.a_L + prover.a_R + [i_blinding1], fr),
+            _plain_scalars(prover.a_O + zero_n1 + [o_blinding1], fr),
+            _plain_scalars(s_L1 + s_R1 + [s_blinding1], fr)], axis=0)
+    with _timed("phase1_msm"):
+        A_I1, A_O1, S1 = msm_mod.msm_hybrid(pts1, sets1, ctx)
 
     tr.commit_point(b"A_I1", A_I1)
     tr.commit_point(b"A_O1", A_O1)
@@ -507,23 +566,29 @@ def prove_device(prover, G, H):
     z = tr.challenge_scalar(b"z")
 
     # device z-fold (prover.rs:142-184)
-    q = len(prover.constraints)
-    tables = build_zfold_tables(prover.constraints, n, len(prover.v))
-    wL, wR, wO, wV_m = zfold_device(tables, z, q, fr, padded_n)
+    with _timed("zfold"):
+        q = len(prover.constraints)
+        tables = build_zfold_tables(prover.constraints, n, len(prover.v))
+        wL, wR, wO, wV_m = zfold_device(tables, z, q, fr, padded_n)
 
     # device l/r/t vector polys (prover.rs:458-488)
-    def mont_padded(vals):
-        return fr.to_mont([v.v for v in vals] + [0] * pad)
-
-    aL_m = mont_padded(prover.a_L)
-    aR_m = mont_padded(prover.a_R)
-    aO_m = mont_padded(prover.a_O)
-    sL_m = mont_padded(s_L1 + s_L2)
-    sR_m = mont_padded(s_R1 + s_R2)
-    y_m = _mont(fr, [y])
-    t16, l1, l2, l3, r0, r1, r3, y_inv_pows = _t_poly_kernel(
-        aL_m, aR_m, aO_m, sL_m, sR_m, wL, wR, wO, y_m, fr)
-    t_ints = fr.from_mont(t16)
+    with _timed("tpoly"):
+        # one stacked host->mont conversion (one dispatch instead of six)
+        zpad = [Scalar.zero()] * pad
+        stacked = fr.to_mont(
+            [v.v for v in (prover.a_L + zpad + prover.a_R + zpad
+                           + prover.a_O + zpad + s_L1 + s_L2 + zpad
+                           + s_R1 + s_R2 + zpad + [y])])
+        N5 = padded_n
+        aL_m = stacked[:, 0 * N5:1 * N5]
+        aR_m = stacked[:, 1 * N5:2 * N5]
+        aO_m = stacked[:, 2 * N5:3 * N5]
+        sL_m = stacked[:, 3 * N5:4 * N5]
+        sR_m = stacked[:, 4 * N5:5 * N5]
+        y_m = stacked[:, 5 * N5:5 * N5 + 1]
+        t16, l1, l2, l3, r0, r1, r3, y_inv_pows = _t_poly_kernel(
+            aL_m, aR_m, aO_m, sL_m, sR_m, wL, wR, wO, y_m, fr)
+        t_ints = fr.from_mont(t16)
     t1s, t2s, t3s, t4s, t5s, t6s = [Scalar(v) for v in t_ints]
     t_poly = Poly6(t1s, t2s, t3s, t4s, t5s, t6s)
 
@@ -589,6 +654,8 @@ def prove_device(prover, G, H):
     from .. import ipp as ipp_mod
     ipp_proof = ipp_mod.InnerProductArgumentProof(
         L=L_vec, R=R_vec, a=a_fin, b=b_fin)
+    if _PROFILE:
+        _prof.dump(f"prove_device n={padded_n}")
 
     return R1CSProof(A_I1=A_I1, A_O1=A_O1, S1=S1, A_I2=A_I2, A_O2=A_O2,
                      S2=S2, T_1=T_1, T_3=T_3, T_4=T_4, T_5=T_5, T_6=T_6,

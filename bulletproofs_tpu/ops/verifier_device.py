@@ -85,6 +85,70 @@ def _gh_scalars_kernel(wL, wR, wO, s, y_inv_pows, x_m, a_m, b_m, u_m,
     return plain[:, :pad_n], plain[:, pad_n:], delta
 
 
+def verify_ipp_device(n, transcript, G_factors, H_factors, P_pt, Q, G, H,
+                      a, b, L_vec, R_vec):
+    """Device path for the standalone IPA check (`ipp.rs:204-260`,
+    BASELINE config #3): transcript replay on host, s-vector + scalar
+    assembly on device, ONE hybrid mega-MSM of size 2n + 2 lg n + 1."""
+    from ..config import curve
+    from ..utils.errors import VerificationError
+    from .field_host import batch_invert
+
+    cv = curve()
+    ctx = ej.CurveCtx(cv)
+    fr = ctx.fr
+
+    lg_n = len(L_vec)
+    if lg_n >= 32 or n != (1 << lg_n):
+        raise VerificationError("inconsistent IPA proof size")
+    transcript.innerproduct_domain_sep(n)
+    challenges = []
+    for L_pt, R_pt in zip(L_vec, R_vec):
+        transcript.commit_point(b"L", L_pt)
+        transcript.commit_point(b"R", R_pt)
+        challenges.append(transcript.challenge_scalar(b"u"))
+    challenges_inv, prod_inv = batch_invert(challenges)
+    u_sq = [c2.square() for c2 in challenges]
+    u_inv_sq = [c2.square() for c2 in challenges_inv]
+
+    if lg_n:
+        s_dev = _s_vector_kernel(_mont(fr, u_sq), _mont(fr, [prod_inv]),
+                                 lg_n, fr)
+    else:
+        s_dev = _mont(fr, [prod_inv])
+
+    Gf_m = _mont(fr, G_factors)
+    Hf_m = _mont(fr, H_factors)
+    g_plain, h_plain = _ipp_scalars_kernel(
+        s_dev, Gf_m, Hf_m, _mont(fr, [a]), _mont(fr, [b]), fr)
+
+    head = [a * b]
+    tail = [-t for t in u_sq] + [-t for t in u_inv_sq]
+    head_plain = jnp.asarray(fj.ints_to_limbs(
+        [v.v for v in head + tail], fr.L))
+    scal = jnp.concatenate(
+        [head_plain[:, :1], g_plain, h_plain, head_plain[:, 1:]],
+        axis=-1)[None]
+    pts = jnp.concatenate(
+        [ej.to_device_points([Q], ctx),
+         _pts_cache.get(list(G), ctx), _pts_cache.get(list(H), ctx),
+         ej.to_device_points(list(L_vec) + list(R_vec), ctx)], axis=2)
+    expected = msm_mod.msm_hybrid(pts, scal, ctx)[0]
+    if expected != P_pt:
+        raise VerificationError("IPA check failed")
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _ipp_scalars_kernel(s, Gf_m, Hf_m, a_m, b_m, fr):
+    """g_i = a * s_i * Gf_i;  h_i = b * s_rev_i * Hf_i  (plain form out)."""
+    g_scal = fj.mont_mul(fj.mont_mul(a_m, s, fr), Gf_m, fr)
+    h_scal = fj.mont_mul(fj.mont_mul(b_m, s[:, ::-1], fr), Hf_m, fr)
+    both = jnp.concatenate([g_scal, h_scal], axis=-1)
+    plain = fj.mont_mul(both, jnp.zeros_like(both).at[0].set(1), fr)
+    n = g_scal.shape[-1]
+    return plain[:, :n], plain[:, n:]
+
+
 def verify_device(verifier, proof, g, h, G, H):
     """Device-path `Verifier.verify` (`verifier.rs:267-457`): identical
     transcript replay and a single mega-MSM == identity check, with the

@@ -59,10 +59,11 @@ def probe_msm():
         rnd = random.Random(0xBE7C)
         base = [G1.random(rnd) for _ in range(256)]
         P = ej.to_device_points(base * (N // 256), ctx)
-        npr = np.random.RandomState(0)
-        sl = npr.randint(0, 1 << 16, size=(ctx.fr.L, N)).astype(np.uint32)
-        sl[ctx.fr.L - 1] %= 0x73ED
-        s = jnp.asarray(sl)
+        # scalars UNIFORM mod r (a modulo-biased top limb skews the top
+        # window's bucket occupancy 1.5x and blows the static round guess)
+        from bulletproofs_tpu.ops import field_jax as fjx
+        vals = [rnd.randrange(BLS381.r) for _ in range(N)]
+        s = jnp.asarray(fjx.ints_to_limbs(vals, ctx.fr.L))
         rounds = msm_mod.occupancy_guess(N, ctx, c)
         print(f"guess rounds={rounds}", flush=True)
 

@@ -119,3 +119,25 @@ def test_graft_entry_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_msm_degenerate_scalars(rng):
+    """Repeated scalar values (bit-vector witnesses, all-equal vectors)
+    concentrate points in single buckets; the pre-reduction escalation
+    (ops/msm.py bucket_accumulate pre_reduce) must keep the result exact."""
+    with using_curve(BLS381):
+        n = 64
+        ctx = ej.CurveCtx(BLS381)
+        pts = [G1.random(rng) for _ in range(n)]
+        P = ej.to_device_points(pts, ctx)
+        bits = [Scalar(rng.randrange(2)) for _ in range(n)]
+        out = msm_mod.msm_device(P, ej.to_device_scalars(bits, ctx), ctx, 4)
+        assert ej.from_device_points(out, ctx)[0] == msm_host(pts, bits)
+        neg = [Scalar(BLS381.r - 1)] * n
+        out = msm_mod.msm_device(P, ej.to_device_scalars(neg, ctx), ctx, 4)
+        assert ej.from_device_points(out, ctx)[0] == msm_host(pts, neg)
+        # forced pre-reduce passes on uniform scalars
+        ks = [Scalar.random(rng) for _ in range(n)]
+        s = ej.to_device_scalars(ks, ctx)
+        out, _ = msm_mod._msm_device_jit(P, s, ctx, 4, 16, 3)
+        assert ej.from_device_points(out, ctx)[0] == msm_host(pts, ks)

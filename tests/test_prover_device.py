@@ -37,6 +37,50 @@ def _build(force_host, G, H, g, h):
     return proof, comms
 
 
+def test_standalone_ipa_device_paths(device_path, monkeypatch, rng):
+    """`create_ipp`/`verify_ipp` device dispatch (implicit-basis prover +
+    device mega-MSM verifier) against the host path, byte-exact."""
+    from bulletproofs_tpu import ipp as ipp_mod
+    from bulletproofs_tpu.ops.ec_host import G1, msm_host
+    from bulletproofs_tpu.ops.field_host import Scalar, inner_product
+
+    monkeypatch.setattr(ipp_mod, "DEVICE_IPA_MIN_N", 1)
+    n = 16
+    G = get_generators("G", n)
+    H = get_generators("H", n)
+    Q = G1.from_msg_hash(b"Q")
+    a = [Scalar.random(rng) for _ in range(n)]
+    b = [Scalar.random(rng) for _ in range(n)]
+    Gf = [Scalar.random(rng) for _ in range(n)]
+    Hf = [Scalar.random(rng) for _ in range(n)]
+
+    tr_dev = ProofTranscript(b"sipa")
+    proof_dev = ipp_mod.create_ipp(tr_dev, Q, Gf, Hf, G, H, a, b)
+
+    monkeypatch.setattr(ipp_mod, "DEVICE_IPA_MIN_N", 1 << 30)
+    tr_host = ProofTranscript(b"sipa")
+    proof_host = ipp_mod.create_ipp(tr_host, Q, Gf, Hf, G, H, a, b)
+    assert [p.to_bytes() for p in proof_dev.L] == \
+           [p.to_bytes() for p in proof_host.L]
+    assert proof_dev.a.v == proof_host.a.v
+    assert proof_dev.b.v == proof_host.b.v
+
+    # P = <a, G'> + <b, H'> + <a,b>Q for the factored bases
+    scalars = ([x * f for x, f in zip(a, Gf)] + [x * f for x, f in zip(b, Hf)]
+               + [inner_product(a, b)])
+    P = msm_host(G + H + [Q], scalars)
+
+    monkeypatch.setattr(ipp_mod, "DEVICE_IPA_MIN_N", 1)
+    tr_v = ProofTranscript(b"sipa")
+    ipp_mod.verify_ipp(n, tr_v, Gf, Hf, P, Q, G, H, proof_dev.a, proof_dev.b,
+                       proof_dev.L, proof_dev.R)
+
+    tr_bad = ProofTranscript(b"sipa")
+    with pytest.raises(R1CSError):
+        ipp_mod.verify_ipp(n, tr_bad, Gf, Hf, P + Q, Q, G, H, proof_dev.a,
+                           proof_dev.b, proof_dev.L, proof_dev.R)
+
+
 def test_device_prove_bit_exact_and_device_verify(device_path, rng):
     G = get_generators("G", 64)
     H = get_generators("H", 64)
