@@ -145,7 +145,7 @@ def main():
         # ---- roofline: in-loop kernel throughput vs speed-of-light ----
         try:
             from bulletproofs_tpu.utils.roofline import roofline_report
-            rr = roofline_report(ctx, batch=8192, iters=32)
+            rr = roofline_report(ctx, batch=8192, iters=100)
             extras["roofline_ec_add_per_s"] = round(rr["ec_add_per_s"])
             extras["roofline_ec_add_utilization"] = round(
                 rr["ec_add_utilization"], 3)

@@ -1,10 +1,13 @@
-"""EXPERIMENTAL: 8-bit-limb f32 Montgomery field kernels.
+"""PARKED EXPERIMENT: 8-bit-limb f32 Montgomery field kernels.
 
-Motivation (NOTES.md): the TPU VPU's native rate is f32 FMA; 32-bit integer
-multiplies are emulated multi-op sequences.  An 8-bit-limb formulation in
-f32 issues 4x the partial products of the 16-bit uint32 one but each at
-full FMA rate — net win if the emulation factor exceeds ~4
-(scripts/probe_vpu.py measures it).
+VERDICT (round 2, scripts/probe_vpu.py on v5e): the premise is FALSE —
+u32 multiply issues at 4.9-12 T ops/s, f32 FMA at 8.5 T ops/s, so the 4x
+partial-product overhead of 8-bit limbs cannot be bought back.  Kept as
+the documented negative result; not wired into any production path.
+
+Original motivation: if the TPU VPU emulated 32-bit integer multiplies as
+multi-op sequences, an 8-bit-limb formulation in f32 (4x the partial
+products, each at full FMA rate) would win.
 
 Representation: L8 = 2 * n_limbs little-endian 8-bit limbs stored as f32
 (values 0..255), limbs on axis 0, batch trailing — same layout discipline

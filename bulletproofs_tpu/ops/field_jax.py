@@ -354,12 +354,14 @@ _MONT_IMPL = _os.environ.get("BP_MONT_IMPL", "cios")
 def mont_mul(a, b, ctx: FieldCtx):
     """Montgomery product abR^-1 mod p, canonical in/out.
 
-    Default: fused CIOS scan.  BP_MONT_IMPL=conv selects the convolution
-    form (`mont_mul_conv`) — same math, different movement/ALU trade
-    (NOTES.md).
+    BP_MONT_IMPL selects the kernel form (NOTES.md): `cios` (default —
+    fused scan), `conv` (separated REDC as three convolutions), `mxu`
+    (separated REDC with the fixed-operand products as int8 MXU matmuls).
     """
     if _MONT_IMPL == "conv":
         return mont_mul_conv(a, b, ctx)
+    if _MONT_IMPL == "mxu":
+        return mont_mul_mxu(a, b, ctx)
     return _mont_mul_cios(a, b, ctx)
 
 
@@ -463,6 +465,112 @@ def mont_mul_conv(a, b, ctx: FieldCtx):
     # 2L+1 columns (low-half carries flow into the high half), keep high
     summed = _carry_norm(total, 2 * L + 1)
     return _carry_sub_norm(summed[L:], ctx.mod, L + 1)[:L]
+
+
+def _mxu_tables(ctx: FieldCtx):
+    """Static Toeplitz tables routing the REDC's fixed-operand products
+    through the int8 MXU (measured 197 T ops/s vs ~5 T VPU int32,
+    scripts/probe_vpu.py).  For y = T @ x with byte-entries T, x in
+    [0, 256): bias BOTH sides by -128 so they fit int8 exactly, then
+      y = (T-128)@(x-128) + 128*rowsum(T-128) + 128*sum(x-128) + 16384*L8
+    — one int8 matmul (int32 accumulate, exact on any backend) plus a
+    static row constant and one per-batch byte-sum reduction.
+
+    Returns ((Ts_m, const_m), (Ts_n, const_n)): the (T_lo * N') mod R map
+    (L8 x L8) and the m * N map (2*L8 x L8), L8 = 2L 8-bit limbs."""
+    if hasattr(ctx, "_mxu"):
+        return ctx._mxu
+    L8 = 2 * ctx.L
+
+    def bytes_le(v, n):
+        return [(v >> (8 * i)) & 0xFF for i in range(n)]
+
+    def toeplitz(limbs8, out_rows):
+        T = np.zeros((out_rows, L8), np.int64)
+        for k in range(out_rows):
+            for i in range(L8):
+                if 0 <= k - i < len(limbs8):
+                    T[k, i] = limbs8[k - i]
+        Ts = T - 128
+        const = (128 * Ts.sum(axis=1) + 16384 * L8).astype(
+            np.int32)[:, None]
+        return (Ts.astype(np.int8), const)
+
+    n_prime_int = sum(int(v) << (16 * i)
+                      for i, v in enumerate(ctx.n_prime[:, 0]))
+    ctx._mxu = (toeplitz(bytes_le(n_prime_int, 2 * ctx.L), L8),
+                toeplitz(bytes_le(ctx.mod_int, 2 * ctx.L), 2 * L8))
+    return ctx._mxu
+
+
+def _mxu_apply(tables, x8):
+    """(L8, *batch) byte vector -> T @ x8 as int32 columns (rows, *batch)."""
+    Ts, const = tables
+    batch = x8.shape[1:]
+    xi = x8.astype(jnp.int32).reshape(x8.shape[0], -1)
+    xs = (xi - 128).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    y = (jax.lax.dot_general(Ts, xs, dn, preferred_element_type=jnp.int32)
+         + const + 128 * jnp.sum(xi - 128, axis=0, keepdims=True))
+    return y.reshape((Ts.shape[0],) + batch).astype(U32)
+
+
+def _u16_to_u8(a):
+    """(L, *batch) 16-bit limbs -> (2L, *batch) byte limbs."""
+    lo = a & 0xFF
+    hi = (a >> 8) & 0xFF
+    out = jnp.stack([lo, hi], axis=1)
+    return out.reshape((2 * a.shape[0],) + a.shape[1:])
+
+
+def _u8cols_to_u16cols(c):
+    """(2K, *batch) relaxed byte-base columns -> (K, *batch) 16-bit-base
+    relaxed columns (pairs combined; values grow by <= 256x, still < 2^30
+    for byte columns < 2^22)."""
+    pairs = c.reshape((c.shape[0] // 2, 2) + c.shape[1:])
+    return pairs[:, 0] + (pairs[:, 1] << 8)
+
+
+def mont_mul_mxu(a, b, ctx: FieldCtx):
+    """Separated REDC with the two fixed-operand products on the MXU:
+    T = a*b (VPU scan columns — both operands vary; the conv/diag_sum form
+    measured 18x slower from intermediate materialization), then
+    m = (T_lo * N') mod R and m*N as int8 Toeplitz matmuls."""
+    L = ctx.L
+    a, b = _align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + batch)
+    b = jnp.broadcast_to(b, (L,) + batch)
+
+    tm, tn = _mxu_tables(ctx)
+    t = _mul_columns(a, b)                           # (2L+1,) relaxed
+    t_norm = _carry_norm(t, 2 * L)                   # canonical 16-bit
+    x8 = _u16_to_u8(t_norm[:L])                      # (2L,) bytes
+    m_cols = _mxu_apply(tm, x8)                      # byte-base, < 2^22
+    # canonicalize m to bytes mod R (drop carry past L8 limbs)
+    m8 = _carry_norm8_u32(m_cols, 2 * L)
+    mn_cols = _mxu_apply(tn, m8)                     # (4L,) byte-base
+    mn16 = _u8cols_to_u16cols(mn_cols)               # (2L,) 16-bit-base
+    total = mn16 + t_norm
+    summed = _carry_norm(total, 2 * L + 1)
+    return _carry_sub_norm(summed[L:], ctx.mod, L + 1)[:L]
+
+
+def _carry_norm8_u32(cols, out_len):
+    """Byte-base carry normalization over uint32 relaxed columns."""
+    K = cols.shape[0]
+    if K < out_len:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((out_len - K,) + cols.shape[1:], U32)], axis=0)
+    elif K > out_len:
+        cols = cols[:out_len]
+    outs = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(out_len):
+        s = cols[k] + carry
+        outs.append(s & 0xFF)
+        carry = s >> 8
+    return jnp.stack(outs, axis=0)
 
 
 def mont_sq(a, ctx: FieldCtx):

@@ -502,8 +502,12 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
     if c is None:
         c = pick_window(n)
     W = -(-ctx.cv.fr.n_bits // c)
-    rounds = occupancy_guess(n_eff or n, ctx, c)
-    pre = 0
+    # start from the last successful escalation for this shape: witness
+    # MSMs (bit-vector scalars) need pre-reduction EVERY time — rediscovering
+    # it per call would run a wasted underscheduled kernel first
+    key = (n, S, c, ctx.cv.name, n_eff)
+    rounds, pre = _escalation_memo.get(
+        key, (occupancy_guess(n_eff or n, ctx, c), 0))
     while True:
         with _timed("msm_kernel"):
             flat, occ = _msm_multi_rowcol_jit(
@@ -512,6 +516,7 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
         if occ <= rounds:
             break
         rounds, pre = _escalate(occ, rounds, pre)
+    _escalation_memo[key] = (rounds, pre)
     g_bits = (c + 1) // 2
     G, K = 1 << g_bits, 1 << (c - g_bits)
     with _timed("msm_transfer"):
@@ -564,6 +569,9 @@ def msm_device(points, scalars, ctx: CurveCtx, c: int):
         if occ <= rounds:
             return out
         rounds, pre = _escalate(occ, rounds, pre)
+
+
+_escalation_memo = {}
 
 
 def _escalate(occ, rounds, pre):

@@ -31,10 +31,18 @@ from . import prover_device
 from .prover_device import (_inner_mont, _mont, _pts_cache,
                             build_zfold_tables, zfold_device, _pow_shifted)
 
+import os as _os
+
+# Verification is ONE mega-MSM + cheap scalar assembly: below this size the
+# native C++ path wins (measured v5e: n=2048 device verify 1.26s vs 0.51s
+# native — per-dispatch tunnel latency dominates a single-MSM workload,
+# unlike the prover's ~25 amortizing MSMs).
+DEVICE_VERIFY_MIN_N = int(_os.environ.get("BP_VERIFIER_DEVICE_MIN", "8192"))
+
 
 def device_verify_available(n_hint):
     from ..backend import get_backend
-    if n_hint < prover_device.DEVICE_PROVER_MIN_N:
+    if n_hint < DEVICE_VERIFY_MIN_N:
         return False
     be = get_backend(2 * n_hint + 1)
     return getattr(be, "name", "") == "jax"

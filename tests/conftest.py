@@ -25,8 +25,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# SEPARATE cache dir from the TPU runs: mixing AOT artifacts compiled for
+# different machine targets in one directory segfaults the cache loader
+# ("machine type ... doesn't match", cpu_aot_loader) — tests must never
+# read entries produced by the axon/TPU toolchain.
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random

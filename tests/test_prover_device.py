@@ -24,6 +24,7 @@ def device_path(monkeypatch):
     old_mode = backend_mod._mode
     backend_mod.set_backend("jax")
     monkeypatch.setattr(prover_device, "DEVICE_PROVER_MIN_N", 1)
+    monkeypatch.setattr(verifier_device, "DEVICE_VERIFY_MIN_N", 1)
     yield
     backend_mod.set_backend(old_mode)
 
@@ -57,9 +58,16 @@ def test_standalone_ipa_device_paths(device_path, monkeypatch, rng):
     tr_dev = ProofTranscript(b"sipa")
     proof_dev = ipp_mod.create_ipp(tr_dev, Q, Gf, Hf, G, H, a, b)
 
+    # host-path reference on the native C++ backend (compiling the jax fold
+    # kernels here has hit an XLA:CPU compiler segfault in long pytest
+    # processes; the C++ path is byte-identical by the cross-backend tests)
     monkeypatch.setattr(ipp_mod, "DEVICE_IPA_MIN_N", 1 << 30)
-    tr_host = ProofTranscript(b"sipa")
-    proof_host = ipp_mod.create_ipp(tr_host, Q, Gf, Hf, G, H, a, b)
+    backend_mod.set_backend("cpp")
+    try:
+        tr_host = ProofTranscript(b"sipa")
+        proof_host = ipp_mod.create_ipp(tr_host, Q, Gf, Hf, G, H, a, b)
+    finally:
+        backend_mod.set_backend("jax")
     assert [p.to_bytes() for p in proof_dev.L] == \
            [p.to_bytes() for p in proof_host.L]
     assert proof_dev.a.v == proof_host.a.v
