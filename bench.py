@@ -126,6 +126,11 @@ def main():
             extras["agg_m16_proofs_per_s"] = round(
                 m / sorted(p_times)[1], 2)
 
+            # verify under the AUTO policy: at n=2048 that is the native
+            # C++ path (device verify gates at BP_VERIFIER_DEVICE_MIN —
+            # a single-MSM workload cannot amortize dispatch latency)
+            backend_mod.set_backend("auto")
+
             def verify_once():
                 tr = ProofTranscript(b"AggRange")
                 v = Verifier(tr)
@@ -138,9 +143,60 @@ def main():
             verify_once()                            # warmup
             v_times = [verify_once() for _ in range(3)]
             extras["agg_m16_verify_s_p50"] = round(sorted(v_times)[1], 3)
-            backend_mod.set_backend("auto")
         except Exception as e:                       # pragma: no cover
             extras["config2_error"] = repr(e)[:200]
+        finally:
+            backend_mod.set_backend("auto")
+
+        # ---- BASELINE config #3: standalone IPA at n = 2^16 ----
+        # (prove via the implicit-basis device IPA; verify p50 = the
+        #  device mega-MSM check — the driver's headline verify metric)
+        try:
+            from bulletproofs_tpu import ipp as ipp_mod
+            from bulletproofs_tpu.ops.field_host import (Scalar,
+                                                         inner_product)
+            from bulletproofs_tpu.ops.ec_host import msm_host
+            from bulletproofs_tpu.transcript import ProofTranscript
+            from bulletproofs_tpu.utils import get_generators
+            backend_mod.set_backend("jax")
+            n_ipa = N
+            G3 = get_generators("G", n_ipa)
+            H3 = get_generators("H", n_ipa)
+            Q3 = G1.from_msg_hash(b"Q")
+            one = Scalar.one()
+            rnd3 = random.Random(3)
+            a3 = [Scalar.random(rnd3) for _ in range(n_ipa)]
+            b3 = [Scalar.random(rnd3) for _ in range(n_ipa)]
+            Gf = [one] * n_ipa
+            Hf = [one] * n_ipa
+
+            tr3 = ProofTranscript(b"ipa16")
+            t0 = time.time()
+            ipa_proof = ipp_mod.create_ipp(tr3, Q3, Gf, Hf, G3, H3, a3, b3)
+            extras["ipa_n65536_prove_s"] = round(time.time() - t0, 2)
+
+            # P = <a, G> + <b, H> + <a,b>Q (factors are all one)
+            P3 = msm_mod.msm_hybrid(
+                jnp.concatenate([ej.to_device_points(G3, ctx),
+                                 ej.to_device_points(H3, ctx),
+                                 ej.to_device_points([Q3], ctx)], axis=2),
+                ej.to_device_scalars(a3 + b3 + [inner_product(a3, b3)],
+                                     ctx)[None], ctx)[0]
+
+            def ipa_verify_once():
+                trv = ProofTranscript(b"ipa16")
+                t0 = time.time()
+                ipp_mod.verify_ipp(n_ipa, trv, Gf, Hf, P3, Q3, G3, H3,
+                                   ipa_proof.a, ipa_proof.b, ipa_proof.L,
+                                   ipa_proof.R)
+                return time.time() - t0
+            ipa_verify_once()                        # warmup
+            iv = [ipa_verify_once() for _ in range(3)]
+            extras["ipa_n65536_verify_s_p50"] = round(sorted(iv)[1], 3)
+        except Exception as e:                       # pragma: no cover
+            extras["config3_error"] = repr(e)[:200]
+        finally:
+            backend_mod.set_backend("auto")
 
         # ---- roofline: in-loop kernel throughput vs speed-of-light ----
         try:

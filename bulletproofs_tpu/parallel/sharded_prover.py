@@ -43,14 +43,16 @@ from .sharded_msm import AXIS, _allreduce_buckets, make_mesh
 # Sharded multi-set MSM
 # ---------------------------------------------------------------------------
 
-def _msm_multi_body(points, scalars, ctx, c, n_rounds, wins_per_set, axis):
+def _msm_multi_body(points, scalars, ctx, c, n_rounds, wins_per_set, axis,
+                    pre_reduce=0):
     """shard_map body: local shards -> replicated (3, L, S) totals + the
     global max occupancy (for the guess-verify contract)."""
     S = scalars.shape[0]
     digits = msm_mod._digits_multi(scalars, ctx, c)
     plan = msm_mod.window_plan(ctx, c, n_sets=S)
     buckets, occ = msm_mod.bucket_accumulate(points, digits, ctx, c,
-                                             n_rounds, plan=plan)
+                                             n_rounds, plan=plan,
+                                             pre_reduce=pre_reduce)
     buckets = _allreduce_buckets(buckets, ctx, axis)
     occ = jax.lax.pmax(occ, axis)
     rowsum, colsum = msm_mod.bucket_rowcol(buckets, ctx, c)
@@ -59,11 +61,12 @@ def _msm_multi_body(points, scalars, ctx, c, n_rounds, wins_per_set, axis):
     return out, occ
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _msm_multi_sharded_jit(points, scalars, ctx, c, mesh, n_rounds):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _msm_multi_sharded_jit(points, scalars, ctx, c, mesh, n_rounds,
+                           pre_reduce=0):
     W = -(-ctx.cv.fr.n_bits // c)
     body = partial(_msm_multi_body, ctx=ctx, c=c, n_rounds=n_rounds,
-                   wins_per_set=W, axis=AXIS)
+                   wins_per_set=W, axis=AXIS, pre_reduce=pre_reduce)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, None, AXIS), P(None, None, AXIS)),
@@ -74,17 +77,20 @@ def _msm_multi_sharded_jit(points, scalars, ctx, c, mesh, n_rounds):
 
 def msm_multi_sharded(points, scalars, ctx, c, mesh):
     """points (3, L, n), scalars (S, Lr, n) global (sharded or shardable)
-    -> list of S host G1.  Guess-verify static round count per shard."""
+    -> list of S host G1.  Guess-verify static round count per shard, with
+    the same pre-reduction escalation as the single-chip driver (witness
+    MSMs carry degenerate bit-vector scalars)."""
     d = mesh.devices.size
     ns = points.shape[2] // d
     rounds = msm_mod.occupancy_guess(max(ns, 1), ctx, c)
+    pre = 0
     while True:
         out, occ = _msm_multi_sharded_jit(points, scalars, ctx, c, mesh,
-                                          rounds)
+                                          rounds, pre)
         occ = int(occ)
         if occ <= rounds:
             break
-        rounds = (occ + 15) // 16 * 16
+        rounds, pre = msm_mod._escalate(occ, rounds, pre)
     return ej.from_device_points(out, ctx)
 
 
