@@ -510,8 +510,12 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
         key, (occupancy_guess(n_eff or n, ctx, c), 0))
     while True:
         with _timed("msm_kernel"):
-            flat, occ = _msm_multi_rowcol_jit(
+            flat_dev, occ_dev = _msm_multi_rowcol_jit(
                 points_dev, scalars_multi, ctx, c, rounds, pre)
+        with _timed("msm_transfer"):
+            # ONE device->host fetch for (sums, occupancy): a separate
+            # occupancy sync costs a full extra tunnel round trip per MSM
+            flat, occ = jax.device_get((flat_dev, occ_dev))
             occ = int(occ)
         if occ <= rounds:
             break
@@ -519,8 +523,6 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
     _escalation_memo[key] = (rounds, pre)
     g_bits = (c + 1) // 2
     G, K = 1 << g_bits, 1 << (c - g_bits)
-    with _timed("msm_transfer"):
-        flat = np.asarray(flat)
     ng = S * W * G
     rowsum, colsum = flat[:, :, :ng], flat[:, :, ng:]
 
