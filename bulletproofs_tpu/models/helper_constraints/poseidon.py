@@ -49,6 +49,7 @@ class PoseidonParams:
         if width not in (3, 5, 9):
             raise ValueError("only widths 3, 5, 9 are supported")
         cv = cv or curve()
+        self.cv = cv
         self.width = width
         self.full_rounds_beginning = full_rounds_beginning
         self.full_rounds_end = full_rounds_end

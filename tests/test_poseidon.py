@@ -93,3 +93,29 @@ def test_poseidon_hash_8(gens, rng):
         inputs, None, image, p, SboxType.Cube, rng, b"Poseidon8", g, h, G, H)
     ph.verify_proof_of_knowledge_of_preimage_of_Poseidon_8(
         image, p, SboxType.Cube, proof, comms, b"Poseidon8", g, h, G, H)
+
+
+def test_poseidon_device_batch(rng):
+    """Batched device Poseidon permutation (ops/poseidon_device.py) vs the
+    host scalar path, bit-exact, Cube + Quint s-boxes."""
+    from bulletproofs_tpu.ops import poseidon_device as pd
+    from bulletproofs_tpu.ops.field_host import Scalar
+    from bulletproofs_tpu.models.helper_constraints.poseidon import (
+        PoseidonParams, Poseidon_hash_2, Poseidon_permutation, SboxType)
+
+    params = PoseidonParams(3, 4, 4, 55)
+    n = 6
+    cols = [[Scalar.random(rng) for _ in range(n)] for _ in range(3)]
+    for sbox in (SboxType.Cube, SboxType.Quint):
+        got = pd.poseidon_permutation_batch(cols, params, sbox)
+        for j in range(n):
+            want = Poseidon_permutation([cols[i][j] for i in range(3)],
+                                        params, sbox)
+            assert [got[i][j].v for i in range(3)] == [s.v for s in want]
+
+    xl = [Scalar.random(rng) for _ in range(4)]
+    xr = [Scalar.random(rng) for _ in range(4)]
+    got2 = pd.poseidon_hash_2_batch(xl, xr, params, SboxType.Cube)
+    for j in range(4):
+        assert got2[j].v == Poseidon_hash_2(
+            xl[j], xr[j], params, SboxType.Cube).v
