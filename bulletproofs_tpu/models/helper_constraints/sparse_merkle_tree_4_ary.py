@@ -69,6 +69,55 @@ class VanillaSparseMerkleTree_4:
         self.root = cur_val
         return cur_val
 
+    def batch_update(self, pairs, hash_db) -> Scalar:
+        """Bulk update: apply [(idx, val), ...] and return the new root.
+
+        Produces the same final root and (final) node set as sequential
+        `update` calls — interior hashes depend only on final leaf values
+        and the last write per index wins — but each tree level's Poseidon
+        hashes run as ONE batched device kernel
+        (ops/poseidon_device.py), so k updates cost `depth` batched rounds
+        instead of k * depth serial permutations (the reference's hot loop,
+        `sparse_merkle_tree_4_ary.rs:89-127`).  Per-update intermediate
+        roots are not materialized."""
+        if not pairs:
+            return self.root
+        from ...ops.poseidon_device import poseidon_hash_4_batch
+        pending = {}
+        for idx, val in pairs:
+            pending[tuple(self.leaf_index_to_path(idx, self.depth))] = val
+        for _level in range(self.depth, 0, -1):
+            groups = {}
+            for path, val in pending.items():
+                groups.setdefault(path[:-1], {})[path[-1]] = val
+            parents = sorted(groups)
+            child_lists = []
+            for ppath in parents:
+                children = self._children_at(ppath, hash_db)
+                for d, v in groups[ppath].items():
+                    children[d] = v
+                child_lists.append(children)
+            if len(child_lists) >= 8:
+                hashes = poseidon_hash_4_batch(
+                    child_lists, self.hash_params, SboxType.Quint)
+            else:
+                hashes = [Poseidon_hash_4(cl, self.hash_params,
+                                          SboxType.Quint)
+                          for cl in child_lists]
+            pending = {}
+            for ppath, cl, h in zip(parents, child_lists, hashes):
+                hash_db.insert(h.to_bytes(), cl)
+                pending[ppath] = h
+        self.root = pending[()]
+        return self.root
+
+    def _children_at(self, ppath, hash_db):
+        """Children list of the PRE-batch node addressed by path digits."""
+        cur = self.root
+        for d in ppath:
+            cur = hash_db.get(cur.to_bytes())[d]
+        return list(hash_db.get(cur.to_bytes()))
+
     def get(self, idx: Scalar, proof, hash_db) -> Scalar:
         """Walk root->leaf; if `proof` is a list, append the 3 sibling nodes
         per level."""

@@ -65,6 +65,48 @@ class VanillaSparseMerkleTree_8:
         self.root = cur_val
         return cur_val
 
+    def batch_update(self, pairs, hash_db) -> Scalar:
+        """Bulk update (see VanillaSparseMerkleTree_4.batch_update): same
+        final root as sequential `update`s; each level's hashes run as one
+        batched device Poseidon kernel."""
+        if not pairs:
+            return self.root
+        from ...ops.poseidon_device import poseidon_hash_8_batch
+        pending = {}
+        for idx, val in pairs:
+            pending[tuple(self.leaf_index_to_path(idx, self.depth))] = val
+        for _level in range(self.depth, 0, -1):
+            groups = {}
+            for path, val in pending.items():
+                groups.setdefault(path[:-1], {})[path[-1]] = val
+            parents = sorted(groups)
+            child_lists = []
+            for ppath in parents:
+                children = self._children_at(ppath, hash_db)
+                for d, v in groups[ppath].items():
+                    children[d] = v
+                child_lists.append(children)
+            if len(child_lists) >= 8:
+                hashes = poseidon_hash_8_batch(
+                    child_lists, self.hash_params, SboxType.Quint)
+            else:
+                hashes = [Poseidon_hash_8(cl, self.hash_params,
+                                          SboxType.Quint)
+                          for cl in child_lists]
+            pending = {}
+            for ppath, cl, h in zip(parents, child_lists, hashes):
+                hash_db.insert(h.to_bytes(), cl)
+                pending[ppath] = h
+        self.root = pending[()]
+        return self.root
+
+    def _children_at(self, ppath, hash_db):
+        """Children list of the PRE-batch node addressed by path digits."""
+        cur = self.root
+        for d in ppath:
+            cur = hash_db.get(cur.to_bytes())[d]
+        return list(hash_db.get(cur.to_bytes()))
+
     def get(self, idx: Scalar, proof, hash_db) -> Scalar:
         path = self.leaf_index_to_path(idx, self.depth)
         cur_node = self.root

@@ -147,3 +147,23 @@ def poseidon_hash_2_batch(xl, xr, params, sbox):
     zeros = [Scalar(ZERO_CONST, params.cv)] * n
     return poseidon_permutation_batch([zeros, list(xl), list(xr)],
                                       params, sbox)[1]
+
+
+def poseidon_hash_4_batch(children_lists, params, sbox):
+    """Batched `Poseidon_hash_4`: n lists of 4 children -> n Scalars
+    (width-5 permutation, [ZERO | c0..c3] columns, output slot 1)."""
+    from ..models.helper_constraints.poseidon import ZERO_CONST
+    n = len(children_lists)
+    zeros = [Scalar(ZERO_CONST, params.cv)] * n
+    cols = [zeros] + [[cl[i] for cl in children_lists] for i in range(4)]
+    return poseidon_permutation_batch(cols, params, sbox)[1]
+
+
+def poseidon_hash_8_batch(children_lists, params, sbox):
+    """Batched `Poseidon_hash_8`: n lists of 8 children -> n Scalars
+    (width-9 permutation)."""
+    from ..models.helper_constraints.poseidon import ZERO_CONST
+    n = len(children_lists)
+    zeros = [Scalar(ZERO_CONST, params.cv)] * n
+    cols = [zeros] + [[cl[i] for cl in children_lists] for i in range(8)]
+    return poseidon_permutation_batch(cols, params, sbox)[1]

@@ -102,3 +102,52 @@ def test_smt8_leaf_inclusion_proof(gens, rng):
     smt8.verify_proof_of_leaf_inclusion_8_ary_merkle_tree(
         tree.root, depth, params, SboxType.Quint, proof, comms, b"SMT8",
         g, h, G, H)
+
+
+def test_smt4_batch_update(rng):
+    """batch_update must reach the same root as sequential updates (final
+    leaf set determines all interior hashes) and serve valid proofs."""
+    from bulletproofs_tpu.models.helper_constraints.sparse_merkle_tree_4_ary \
+        import VanillaSparseMerkleTree_4
+    from bulletproofs_tpu.models.helper_constraints.poseidon import \
+        PoseidonParams
+    from bulletproofs_tpu.ops.field_host import Scalar
+    from bulletproofs_tpu.utils.hash_db import InMemoryHashDb
+
+    params = PoseidonParams(5, 4, 4, 56)
+    depth = 4
+    db_a = InMemoryHashDb()
+    db_b = InMemoryHashDb()
+    t_seq = VanillaSparseMerkleTree_4(params, depth, db_a)
+    t_bat = VanillaSparseMerkleTree_4(params, depth, db_b)
+    pairs = [(Scalar(i * 7 + 1), Scalar.random(rng)) for i in range(12)]
+    pairs.append((pairs[3][0], Scalar.random(rng)))   # duplicate index
+    for idx, val in pairs:
+        t_seq.update(idx, val, db_a)
+    root = t_bat.batch_update(pairs, db_b)
+    assert root == t_seq.root
+    # proofs from the batched tree verify
+    idx, _ = pairs[5]
+    proof = []
+    got = t_bat.get(idx, proof, db_b)
+    assert t_bat.verify_proof(idx, got, proof)
+
+
+def test_smt8_batch_update(rng):
+    from bulletproofs_tpu.models.helper_constraints.sparse_merkle_tree_8_ary \
+        import VanillaSparseMerkleTree_8
+    from bulletproofs_tpu.models.helper_constraints.poseidon import \
+        PoseidonParams
+    from bulletproofs_tpu.ops.field_host import Scalar
+    from bulletproofs_tpu.utils.hash_db import InMemoryHashDb
+
+    params = PoseidonParams(9, 4, 4, 57)
+    depth = 3
+    db_a = InMemoryHashDb()
+    db_b = InMemoryHashDb()
+    t_seq = VanillaSparseMerkleTree_8(params, depth, db_a)
+    t_bat = VanillaSparseMerkleTree_8(params, depth, db_b)
+    pairs = [(Scalar(i * 5 + 2), Scalar.random(rng)) for i in range(10)]
+    for idx, val in pairs:
+        t_seq.update(idx, val, db_a)
+    assert t_bat.batch_update(pairs, db_b) == t_seq.root
