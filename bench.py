@@ -198,6 +198,25 @@ def main():
         finally:
             backend_mod.set_backend("auto")
 
+        # ---- bulk Poseidon hashing (batched device permutation) ----
+        try:
+            from bulletproofs_tpu.models.helper_constraints.poseidon import (
+                PoseidonParams, SboxType)
+            from bulletproofs_tpu.ops.field_host import Scalar
+            from bulletproofs_tpu.ops import poseidon_device as pd
+            params5 = PoseidonParams(5, 4, 4, 56)
+            nh = 8192
+            rndp = random.Random(11)
+            kids = [[Scalar.random(rndp) for _ in range(4)]
+                    for _ in range(nh)]
+            pd.poseidon_hash_4_batch(kids[:nh], params5, SboxType.Quint)
+            t0 = time.time()
+            pd.poseidon_hash_4_batch(kids, params5, SboxType.Quint)
+            dt = time.time() - t0
+            extras["poseidon_hash4_per_s"] = round(nh / dt)
+        except Exception as e:                       # pragma: no cover
+            extras["poseidon_error"] = repr(e)[:200]
+
         # ---- roofline: in-loop kernel throughput vs speed-of-light ----
         try:
             from bulletproofs_tpu.utils.roofline import roofline_report

@@ -42,3 +42,14 @@ import pytest
 def rng():
     """Deterministic RNG for reproducible proofs."""
     return random.Random(0xB1E55)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop in-process compiled executables after each test module: long
+    pytest runs accumulate hundreds of XLA:CPU executables and have hit
+    loader/compiler segfaults; the persistent disk cache makes re-tracing
+    cheap.  (Also: never run other jax processes against the same cache
+    dir while the suite runs.)"""
+    yield
+    jax.clear_caches()
