@@ -133,9 +133,39 @@ class CppBackend:
             return G1.identity()
         abi = self._abi(points)
         lib = get_lib()
+        p = abi.cv.p
+        # batch-normalize to affine (one inversion via the Montgomery
+        # trick): the native bucket loop then uses MIXED adds (Z2 = 1).
+        # Identity points cannot be encoded affinely — zero their scalars
+        # instead (digit-0 entries are never scheduled).
+        safe = [pt.Z if pt.Z != 0 else 1 for pt in points]
+        prefix = [1] * (len(safe) + 1)
+        for i, z in enumerate(safe):
+            prefix[i + 1] = prefix[i] * z % p
+        inv_all = pow(prefix[-1], -1, p)
+        invs = [0] * len(safe)
+        for i in range(len(safe) - 1, -1, -1):
+            invs[i] = prefix[i] * inv_all % p
+            inv_all = inv_all * safe[i] % p
+
+        nb = abi.Lp * 8
+        buf = bytearray(len(points) * 2 * nb)
+        ks = list(scalars)
+        off = 0
+        for i, (pt, zinv) in enumerate(zip(points, invs)):
+            if pt.Z == 0:
+                ks[i] = Scalar.zero()
+                off += 2 * nb
+                continue
+            buf[off:off + nb] = (pt.X * zinv % p).to_bytes(nb, "little")
+            off += nb
+            buf[off:off + nb] = (pt.Y * zinv % p).to_bytes(nb, "little")
+            off += nb
+        pts_buf = np.frombuffer(bytes(buf), dtype=np.uint64)
+
         out = np.zeros(3 * abi.Lp, dtype=np.uint64)
-        lib.bp_msm(_ptr(abi.params), _ptr(abi.points_to_buf(points)),
-                   _ptr(abi.scalars_to_buf(scalars)),
+        lib.bp_msm(_ptr(abi.params), _ptr(pts_buf),
+                   _ptr(abi.scalars_to_buf(ks)),
                    ctypes.c_uint64(len(points)), _ptr(out))
         return abi.buf_to_points(out, 1)[0]
 

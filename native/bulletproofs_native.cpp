@@ -17,6 +17,7 @@
 // Montgomery) representation; conversion happens inside.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -209,6 +210,39 @@ static void pt_add(const Curve& c, const Pt& P, const Pt& Q, Pt& R) {
     f.mont_mul(yz, n, tmp2); f.add(tmp2, tmp, R.Z);
 }
 
+struct PtAff { u64 X[MAXL], Y[MAXL]; };
+
+// Mixed complete add (Z2 = 1, a = 0 curves): saves the Z1*Z2 product and
+// turns yz/xz into single multiplies (11 Montgomery muls vs 12 + cheaper
+// add chains).  Still complete in P (identity P handled; affine Q cannot
+// encode the identity — the MSM driver zeroes identity points' scalars so
+// they are never scheduled).
+static void pt_add_mixed(const Curve& c, const Pt& P, const PtAff& Q,
+                         Pt& R) {
+    const Field& f = c.fp;
+    u64 t0[MAXL], t1[MAXL], xy[MAXL], yz[MAXL], xz[MAXL];
+    u64 sa[MAXL], sb[MAXL], m[MAXL], n[MAXL], tmp[MAXL], tmp2[MAXL];
+
+    f.mont_mul(P.X, Q.X, t0);
+    f.mont_mul(P.Y, Q.Y, t1);
+    f.add(P.X, P.Y, sa); f.add(Q.X, Q.Y, sb);
+    f.mont_mul(sa, sb, xy); f.sub(xy, t0, xy); f.sub(xy, t1, xy);
+    f.mont_mul(Q.Y, P.Z, tmp); f.add(P.Y, tmp, yz);   // Y1 + Y2*Z1
+    f.mont_mul(Q.X, P.Z, tmp); f.add(P.X, tmp, xz);   // X1 + X2*Z1
+
+    u64 b3t2[MAXL];
+    f.mul_small(P.Z, c.b3, b3t2);                     // t2 == Z1
+    f.sub(t1, b3t2, m);
+    f.add(t1, b3t2, n);
+
+    f.mont_mul(yz, xz, tmp); f.mul_small(tmp, c.b3, tmp);
+    f.mont_mul(xy, m, tmp2); f.sub(tmp2, tmp, R.X);
+    f.mont_mul(t0, xz, tmp); f.mul_small(tmp, 3 * c.b3, tmp);
+    f.mont_mul(n, m, tmp2); f.add(tmp2, tmp, R.Y);
+    f.mont_mul(t0, xy, tmp); f.mul_small(tmp, 3, tmp);
+    f.mont_mul(yz, n, tmp2); f.add(tmp2, tmp, R.Z);
+}
+
 static inline int scalar_bit(const u64* k, int Lr, int bit) {
     return (k[bit >> 6] >> (bit & 63)) & 1;
 }
@@ -276,13 +310,19 @@ static void store_pt(const Curve& c, const Pt& p, u64* dst) {
 extern "C" {
 
 // out = sum_i scalars[i] * points[i]  (Pippenger, var-time)
+// `points` are AFFINE (x, y) pairs (the Python driver batch-normalizes and
+// zeroes the scalars of identity points); bucket accumulation uses mixed
+// adds on a=0 curves.
 void bp_msm(const u64* params, const u64* points, const u64* scalars,
             u64 n, u64* out) {
     Curve c = load_curve(params);
     int L = c.fp.L, Lr = c.Lr;
 
-    std::vector<Pt> pts(n);
-    for (u64 i = 0; i < n; i++) load_pt(c, points + i * 3 * L, pts[i]);
+    std::vector<PtAff> pts(n);
+    for (u64 i = 0; i < n; i++) {
+        c.fp.to_mont(points + i * 2 * L, pts[i].X);
+        c.fp.to_mont(points + i * 2 * L + L, pts[i].Y);
+    }
 
     int maxbits = 0;
     for (u64 i = 0; i < n; i++) {
@@ -292,14 +332,32 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
     Pt total; pt_identity(c, total);
     if (maxbits == 0) { store_pt(c, total, out); return; }
 
-    int cbits = 1;
-    while (((u64)1 << cbits) < n && cbits < 16) cbits++;
-    if (cbits > 2) cbits -= 2;
+    // window size from the cost model: per window, ~n mixed adds of
+    // accumulation (weight 0.85 vs full adds) + 2*2^c full adds of dense
+    // combine; minimize over c (a log2(n)-sized c makes the combine as
+    // expensive as accumulation)
+    // empirically-swept window sizes (n=4183 on this host: c=9 353 ms,
+    // c=8 381, c=10 362, c=11 404, c=12 530)
+    int cbits;
+    if (n < 128) cbits = 4;
+    else if (n < 512) cbits = 6;
+    else if (n < 2048) cbits = 8;
+    else if (n < 16384) cbits = 9;
+    else if (n < 65536) cbits = 10;
+    else cbits = 11;
+    const char* ov = getenv("BP_CPP_WINDOW");
+    if (ov && ov[0]) {
+        int v = atoi(ov);
+        if (v >= 1 && v <= 16) cbits = v;
+    }
 
     int nwin = (maxbits + cbits - 1) / cbits;
     u64 nbuckets = (u64)1 << cbits;
     std::vector<Pt> buckets(nbuckets);
     std::vector<bool> used(nbuckets);
+
+    Pt full_q;                        // staging for the a != 0 fallback
+    for (int j = 0; j < L; j++) full_q.Z[j] = c.one_m[j];
 
     for (int w = nwin - 1; w >= 0; w--) {
         for (int d = 0; d < cbits; d++) pt_add(c, total, total, total);
@@ -313,8 +371,21 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
                       (bit < maxbits ? scalar_bit(k, Lr, bit) : 0);
             }
             if (!dig) continue;
-            if (used[dig]) pt_add(c, buckets[dig], pts[i], buckets[dig]);
-            else { buckets[dig] = pts[i]; used[dig] = true; }
+            if (used[dig]) {
+                if (!c.a_nonzero) {
+                    pt_add_mixed(c, buckets[dig], pts[i], buckets[dig]);
+                } else {
+                    memcpy(full_q.X, pts[i].X, sizeof(full_q.X));
+                    memcpy(full_q.Y, pts[i].Y, sizeof(full_q.Y));
+                    pt_add(c, buckets[dig], full_q, buckets[dig]);
+                }
+            } else {
+                memset(&buckets[dig], 0, sizeof(Pt));
+                memcpy(buckets[dig].X, pts[i].X, sizeof(full_q.X));
+                memcpy(buckets[dig].Y, pts[i].Y, sizeof(full_q.Y));
+                for (int j = 0; j < L; j++) buckets[dig].Z[j] = c.one_m[j];
+                used[dig] = true;
+            }
         }
         Pt running, subtotal;
         pt_identity(c, running);
