@@ -51,3 +51,25 @@ def test_range_proof_on_cpp_backend(rng):
             10, 100, 32, proof, comms, b"BoundCheckCpp", g, h, G, H)
     finally:
         backend_mod.set_backend(old)
+
+
+def test_cpp_msm_identity_and_zero_scalars(rng):
+    """The affine-input MSM path cannot encode the identity point: the
+    driver must zero its scalar instead (digit-0 entries are never
+    scheduled).  Identity points DO occur in production mega-MSMs
+    (A_I2/A_O2/S2 are identity for 1-phase proofs)."""
+    from bulletproofs_tpu.ops.cpp_backend import CppBackend
+    from bulletproofs_tpu.ops.ec_host import msm_host
+    from bulletproofs_tpu.ops.field_host import Scalar
+
+    cb = CppBackend()
+    pts = [G1.random(rng) for _ in range(24)]
+    pts[0] = G1.identity()
+    pts[11] = G1.identity()
+    pts[23] = G1.identity()
+    ks = [Scalar.random(rng) for _ in range(24)]
+    ks[5] = Scalar.zero()
+    assert cb.msm(pts, ks) == msm_host(pts, ks)
+    # all-identity edge
+    ident = [G1.identity()] * 4
+    assert cb.msm(ident, ks[:4]).is_identity()
