@@ -120,6 +120,13 @@ class G1:
             return cls.identity(c)
         pt = cls(x, y, 1, c)
         assert pt.is_on_curve(), "point not on curve"
+        if c.cofactor != 1:
+            # Externally-supplied points on cofactor>1 curves (ed25519's
+            # Weierstrass form, h=8) must lie in the prime-order subgroup:
+            # RCB16 completeness and the protocol's soundness both assume
+            # odd order (ADVICE.md round 2).  r*P == O iff P is in G1.
+            assert pt._mul_int(c.r).is_identity(), \
+                "point not in prime-order subgroup"
         return pt
 
     # ---- group law: complete projective add (RCB16) ----

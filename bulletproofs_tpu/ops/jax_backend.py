@@ -7,34 +7,50 @@ across every round and proof).  The device-resident IPA keeps vectors on
 device across rounds and only crosses this boundary for transcript hashes.
 """
 
+import hashlib
+
 from ..config import curve
 from . import ec_jax as ej
 from . import msm as msm_mod
 from .ec_host import G1
 
 
+def content_digest(points, ctx):
+    """Collision-resistant digest of a point vector's FULL projective
+    content (curve + length + every X/Y/Z coordinate).
+
+    Sampled-coordinate keys were an aliasing hazard when any cached list
+    could contain adversary-chosen points (ADVICE.md round 2, high): a
+    second proof matching the sampled points would reuse the first
+    proof's converted table, breaking Fiat-Shamir binding.  blake2b over
+    ~9 MB (n=2^16) costs ~10 ms — negligible vs the ~ms/point host->device
+    conversion it saves."""
+    h = hashlib.blake2b(digest_size=16)
+    nb = (ctx.cv.p.bit_length() + 7) // 8
+    h.update(ctx.cv.name.encode())
+    h.update(len(points).to_bytes(8, "little"))
+    for p in points:
+        h.update(p.X.to_bytes(nb, "little"))
+        h.update(p.Y.to_bytes(nb, "little"))
+        h.update(p.Z.to_bytes(nb, "little"))
+    return h.digest()
+
+
 class _ConvCache:
     """Cache host->device conversions of long-lived point vectors (the
     generator sets G, H — reused across every proof and IPA round).
 
-    Keyed on CONTENT, not object identity: length + curve + the projective
-    coordinates of three sampled points (first/middle/last).  Generator
-    vectors come from hash-to-curve, so sampled coordinates determine the
-    whole vector with overwhelming probability; id()-based keys were an
-    aliasing hazard after GC (ADVICE.md round 1)."""
+    Keyed on a blake2b digest of the FULL coordinate content (see
+    `content_digest`), so mixed generator+proof-supplied lists (the
+    verifier mega-MSMs) are safe to cache too: any list differing in any
+    coordinate gets its own entry."""
 
     def __init__(self, max_entries=16):
         self.entries = {}
         self.max_entries = max_entries
 
-    @staticmethod
-    def _key(points, ctx):
-        sample = (points[0], points[len(points) // 2], points[-1])
-        return (len(points), ctx.cv.name) + tuple(
-            (p.X, p.Y, p.Z) for p in sample)
-
     def get(self, points, ctx):
-        key = self._key(points, ctx)
+        key = content_digest(points, ctx)
         hit = self.entries.get(key)
         if hit is not None:
             return hit

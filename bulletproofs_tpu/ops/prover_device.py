@@ -439,17 +439,20 @@ def create_ipp_device(transcript, Q, G_factors, H_factors, G_vec, H_vec,
 # ---------------------------------------------------------------------------
 
 class _PtsCache:
-    """Content-keyed cache of converted generator-table device arrays
-    (same keying rationale as ops/jax_backend._ConvCache)."""
+    """Content-keyed cache of converted point-table device arrays.
+
+    Keyed on a blake2b digest of the FULL coordinate content (shared with
+    ops/jax_backend.content_digest) so the cache is safe even if a call
+    site ever passes proof-supplied points (ADVICE.md round 2, low:
+    sampled-content keys were one refactor away from an aliasing hazard)."""
 
     def __init__(self, max_entries=8):
         self.entries = {}
         self.max = max_entries
 
     def get(self, points, ctx):
-        sample = (points[0], points[len(points) // 2], points[-1])
-        key = (len(points), ctx.cv.name) + tuple(
-            (p.X, p.Y, p.Z) for p in sample)
+        from .jax_backend import content_digest
+        key = content_digest(points, ctx)
         hit = self.entries.get(key)
         if hit is None:
             if len(self.entries) >= self.max:

@@ -5,10 +5,18 @@ labels alone.  The reference notes generators should be persisted in
 practice (`sparse_merkle_tree_4_ary.rs:250`): we cache in-process by
 (curve, prefix, n) AND persist coordinates to disk (hash-to-curve is
 host-serial Python — ~4 ms/point — so a 2^16 generator set would otherwise
-cost minutes in every fresh process)."""
+cost minutes in every fresh process).
 
+Disk format is plain JSON hex (no pickle: deserializing an
+attacker-writable pickle is arbitrary code execution — ADVICE.md round 2,
+medium), and loaded points are VALIDATED: every point must be on-curve,
+and a sample of indices is re-derived via hash_to_curve and compared.  Any
+mismatch discards the file and regenerates, so a corrupted or planted
+cache cannot substitute generators with known discrete-log relations.
+"""
+
+import json
 import os
-import pickle
 from functools import lru_cache
 
 from ..config import CURVES, curve
@@ -16,30 +24,59 @@ from ..ops.ec_host import G1
 
 _DISK_DIR = os.environ.get("BP_GENERATOR_CACHE", "/root/.bp_generators")
 
+# Indices re-derived from scratch on every disk load (plus the last entry).
+_SPOT_CHECKS = 4
+
 
 def _disk_path(curve_name, prefix):
-    return os.path.join(_DISK_DIR, f"{curve_name}_{prefix}.pkl")
+    return os.path.join(_DISK_DIR, f"{curve_name}_{prefix}.json")
+
+
+def _derive(prefix, i, cv):
+    return G1.from_msg_hash(f"{prefix}{i + 1}".encode(), cv)
+
+
+def _load_validated(path, prefix, cv):
+    """Load cached affine coordinates; return [] unless every point passes
+    on-curve + spot-check validation."""
+    try:
+        with open(path, "r") as f:
+            raw = json.load(f)
+        coords = [(int(x, 16), int(y, 16), int(z, 16)) for x, y, z in raw]
+    except Exception:
+        return []
+    if not coords:
+        return []
+    pts = []
+    for X, Y, Z in coords:
+        p = G1(X, Y, Z, cv)
+        if not p.is_on_curve():
+            return []
+        pts.append(p)
+    n = len(pts)
+    idxs = {0, n - 1}
+    step = max(1, n // _SPOT_CHECKS)
+    idxs.update(range(0, n, step))
+    for i in idxs:
+        if pts[i] != _derive(prefix, i, cv):
+            return []
+    return coords
 
 
 @lru_cache(maxsize=64)
 def _cached(curve_name, prefix, n):
     cv = CURVES[curve_name]
-    coords = []
     path = _disk_path(curve_name, prefix)
-    try:
-        with open(path, "rb") as f:
-            coords = pickle.load(f)
-    except Exception:
-        coords = []
+    coords = _load_validated(path, prefix, cv)
     if len(coords) < n:
         for i in range(len(coords), n):
-            p = G1.from_msg_hash(f"{prefix}{i + 1}".encode(), cv)
+            p = _derive(prefix, i, cv)
             coords.append((p.X, p.Y, p.Z))
         try:
             os.makedirs(_DISK_DIR, exist_ok=True)
             tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                pickle.dump(coords, f)
+            with open(tmp, "w") as f:
+                json.dump([[hex(X), hex(Y), hex(Z)] for X, Y, Z in coords], f)
             os.replace(tmp, path)                    # atomic
         except Exception:
             pass                                     # cache is best-effort
