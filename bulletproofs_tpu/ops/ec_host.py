@@ -79,6 +79,11 @@ class G1:
             if y is not None:
                 break
             x += 1
+        # amcl ECP::mapit calls ECP::new_bigint(&x, 0): the y coordinate is
+        # forced to EVEN parity (negate the principal root if odd) — see
+        # AUDIT.md "hash-to-curve".  p is odd, so p - y flips parity.
+        if y & 1:
+            y = c.p - y
         pt = cls(x, y, 1, c)
         if c.cofactor != 1:
             pt = pt._mul_int(c.cofactor)
