@@ -13,10 +13,11 @@ Mosaic constraints shaped this variant:
   form creates 3-D intermediates that ICE Mosaic's layout inference);
 - array constants can't be captured: the modulus limbs arrive as an input.
 
-STATUS (round 1): experimental, opt-in via `ec_add_pallas`; not wired into
-default paths pending a perf win over the XLA pipeline (NOTES.md).
+STATUS (round 3): raced against the XLA pipeline at the MSM bucket-loop
+shape (scripts/bench_ec_add_variants.py); see NOTES.md for the verdict.
 """
 
+from contextlib import contextmanager
 from functools import partial
 from types import SimpleNamespace
 
@@ -25,10 +26,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import field_jax as fj
 from .field_jax import add_mod, mont_mul, mul_small, sub_mod
 
 # batch tile (lanes); multiple of 128
 TILE = 512
+
+
+@contextmanager
+def _full_unroll():
+    """Force the scan-free fully-unrolled field paths during kernel TRACE:
+    Mosaic can't lower lax.scan with xs/ys, and the env-based unroll knobs
+    (tests run BP_CIOS_UNROLL=1) must not leak into kernel bodies."""
+    old = (fj._UNROLL, fj._CIOS_UNROLL)
+    fj._UNROLL, fj._CIOS_UNROLL = 1 << 30, 1 << 30
+    try:
+        yield
+    finally:
+        fj._UNROLL, fj._CIOS_UNROLL = old
 
 
 def _shim(ctx, mod):
@@ -63,9 +78,10 @@ def _ec_add_2d(f, b3, X1, Y1, Z1, X2, Y2, Z2):
 
 def _add_kernel(ctx):
     def kernel(x1, y1, z1, x2, y2, z2, mod_ref, ox, oy, oz):
-        f = _shim(ctx, mod_ref[:])
-        X3, Y3, Z3 = _ec_add_2d(f, ctx.b3, x1[:], y1[:], z1[:],
-                                x2[:], y2[:], z2[:])
+        with _full_unroll():
+            f = _shim(ctx, mod_ref[:])
+            X3, Y3, Z3 = _ec_add_2d(f, ctx.b3, x1[:], y1[:], z1[:],
+                                    x2[:], y2[:], z2[:])
         ox[:] = X3
         oy[:] = Y3
         oz[:] = Z3

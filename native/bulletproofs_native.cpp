@@ -1,17 +1,24 @@
-// Native host runtime: 64-bit-limb Montgomery field + G1 arithmetic.
+// Native host runtime: Montgomery field + G1 arithmetic, two field engines.
 //
 // This is the TPU framework's replacement for the reference's native math
 // layer (the AMCL bignum/EC stack consumed through `amcl_wrapper`,
-// SURVEY.md section 2.1).  The TPU device path lives in JAX/Pallas kernels
+// SURVEY.md section 2.1).  The TPU device path lives in JAX kernels
 // (bulletproofs_tpu/ops/*_jax.py); this library serves the HOST side:
 // circuit-construction-adjacent scalar math, fast verification on CPU, and
 // the ground-truth backend for tests at speed.
 //
-// Design: generic over the curve — all constants (modulus limbs, Montgomery
-// R^2, -p^-1 mod 2^64, curve b) arrive at the ABI as plain uint64 arrays so
-// the same .so serves BLS12-381 and BN254.  Points use the same branch-free
-// complete projective addition (Renes-Costello-Batina 2016, a=0) as the
-// Python host and JAX device backends, so all three agree bit-for-bit.
+// Field engines (selected at runtime per call):
+//  - Field   : portable 64-bit-limb CIOS (u128 products) — runs anywhere.
+//  - Field52 : 52-bit-limb Montgomery multiply on AVX512-IFMA
+//    (vpmadd52l/huq, one zmm holds all limbs; deferred-carry accumulation)
+//    — used when the CPU supports it (runtime __builtin_cpu_supports
+//    check; BP_NATIVE_IFMA=0 disables).  Same math, identical canonical
+//    outputs: the ABI is plain 64-bit limbs either way, so host/cpp/jax
+//    backends stay bit-exact (tests/test_cross_backend.py).
+//
+// Points use the same branch-free complete projective addition
+// (Renes-Costello-Batina 2016) as the Python host and JAX device backends,
+// templated over the field engine.
 //
 // ABI: every in/out bignum is little-endian 64-bit limbs, PLAIN (non-
 // Montgomery) representation; conversion happens inside.
@@ -21,13 +28,22 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
 
 static const int MAXL = 8;
 
+// ---------------------------------------------------------------------------
+// Engine 1: portable 64-bit-limb CIOS
+// ---------------------------------------------------------------------------
+
 struct Field {
-    int L;
+    int L;              // 64-bit limbs
+    int L64;            // ABI limb count (== L)
     u64 mod[MAXL];
     u64 r2[MAXL];       // R^2 mod p (Montgomery enter)
     u64 n0inv;          // -p^-1 mod 2^64
@@ -122,19 +138,402 @@ struct Field {
         for (int j = 0; j < L; j++) out[j] = acc[j];
     }
 
-    void to_mont(const u64* a, u64* out) const { mont_mul(a, r2, out); }
-    void from_mont(const u64* a, u64* out) const {
-        u64 one[MAXL] = {1};
-        mont_mul(a, one, out);
-    }
     bool is_zero(const u64* a) const {
         for (int j = 0; j < L; j++) if (a[j]) return false;
         return true;
     }
+
+    // ABI (plain little-endian 64-bit limbs) <-> internal Montgomery form
+    void abi_to_mont(const u64* src, u64* out) const {
+        u64 tmp[MAXL] = {0};
+        for (int j = 0; j < L; j++) tmp[j] = src[j];
+        mont_mul(tmp, r2, out);
+    }
+    void mont_to_abi(const u64* a, u64* dst) const {
+        u64 one[MAXL] = {1};
+        u64 tmp[MAXL] = {0};
+        mont_mul(a, one, tmp);
+        for (int j = 0; j < L; j++) dst[j] = tmp[j];
+    }
 };
 
-struct Curve {
-    Field fp;
+// ---------------------------------------------------------------------------
+// Engine 2: 52-bit-limb Montgomery multiply on AVX512-IFMA
+// ---------------------------------------------------------------------------
+
+static const u64 M52 = ((u64)1 << 52) - 1;
+
+struct Field52 {
+    int L;                      // number of 52-bit limbs (<= 8)
+    int L64;                    // ABI 64-bit limb count
+    alignas(64) u64 mod[MAXL];  // p, 52-bit limbs, zero-padded to 8
+    u64 r2[MAXL];               // (2^(52L))^2 mod p, 52-limb form
+    u64 n0inv;                  // -p^-1 mod 2^52
+
+#if defined(__x86_64__)
+    __attribute__((target("avx512f,avx512ifma,avx512vl,avx512dq")))
+    void mont_mul(const u64* a, const u64* b, u64* out) const {
+        // Word-by-word Montgomery, base 2^52, deferred carries: the
+        // accumulator T keeps one 64-bit lane per 52-bit limb; lo/hi
+        // halves of every vpmadd52 product land in lanes j / j+1, and
+        // per-lane sums stay < 2^58 over L iterations, so carries are
+        // resolved ONCE at the end.
+        const __m512i B = _mm512_loadu_si512((const void*)b);
+        const __m512i P = _mm512_load_si512((const void*)mod);
+        const __m512i Zv = _mm512_setzero_si512();
+        __m512i T = Zv;
+        for (int i = 0; i < L; i++) {
+            const __m512i ai = _mm512_set1_epi64((long long)a[i]);
+            T = _mm512_madd52lo_epu64(T, ai, B);
+            __m512i Hi = _mm512_madd52hi_epu64(Zv, ai, B);
+            u64 t0 = (u64)_mm_cvtsi128_si64(_mm512_castsi512_si128(T));
+            u64 m = ((t0 & M52) * n0inv) & M52;
+            const __m512i mv = _mm512_set1_epi64((long long)m);
+            T = _mm512_madd52lo_epu64(T, mv, P);
+            Hi = _mm512_madd52hi_epu64(Hi, mv, P);
+            t0 = (u64)_mm_cvtsi128_si64(_mm512_castsi512_si128(T));
+            const u64 carry0 = t0 >> 52;      // low 52 bits are 0 by m
+            // shift one limb down, absorb hi products and the carry
+            T = _mm512_alignr_epi64(Zv, T, 1);
+            T = _mm512_add_epi64(T, Hi);
+            T = _mm512_add_epi64(
+                T, _mm512_maskz_set1_epi64(0x01, (long long)carry0));
+        }
+        alignas(64) u64 t[MAXL + 1];
+        _mm512_store_si512((void*)t, T);
+        // resolve deferred carries to canonical 52-bit limbs
+        u64 c = 0;
+        for (int j = 0; j < L; j++) {
+            u64 s = t[j] + c;
+            t[j] = s & M52;
+            c = s >> 52;
+        }
+        t[L] = c;
+        cond_sub(t, out);
+    }
+#else
+    void mont_mul(const u64* a, const u64* b, u64* out) const {
+        (void)a; (void)b; (void)out;  // never dispatched off x86-64
+    }
+#endif
+
+    void cond_sub(const u64* t, u64* out) const {
+        u64 d[MAXL];
+        u64 borrow = 0;
+        for (int j = 0; j < L; j++) {
+            u64 s = t[j] - mod[j] - borrow;      // limbs < 2^52: no wrap
+            borrow = (s >> 63) & 1;              // negative iff top bit
+            d[j] = s & M52;
+        }
+        bool ge = t[L] >= borrow;
+        for (int j = 0; j < L; j++) out[j] = ge ? d[j] : t[j];
+        for (int j = L; j < MAXL; j++) out[j] = 0;
+    }
+
+    void add(const u64* a, const u64* b, u64* out) const {
+        u64 t[MAXL + 1];
+        u64 carry = 0;
+        for (int j = 0; j < L; j++) {
+            u64 s = a[j] + b[j] + carry;
+            t[j] = s & M52;
+            carry = s >> 52;
+        }
+        t[L] = carry;
+        cond_sub(t, out);
+    }
+
+    void sub(const u64* a, const u64* b, u64* out) const {
+        u64 d[MAXL];
+        u64 borrow = 0;
+        for (int j = 0; j < L; j++) {
+            u64 s = a[j] - b[j] - borrow;
+            borrow = (s >> 63) & 1;
+            d[j] = s & M52;
+        }
+        if (borrow) {
+            u64 carry = 0;
+            for (int j = 0; j < L; j++) {
+                u64 s = d[j] + mod[j] + carry;
+                out[j] = s & M52;
+                carry = s >> 52;
+            }
+        } else {
+            for (int j = 0; j < L; j++) out[j] = d[j];
+        }
+        for (int j = L; j < MAXL; j++) out[j] = 0;
+    }
+
+    void mul_small(const u64* a, u64 k, u64* out) const {
+        u64 acc[MAXL];
+        int top = 63;
+        while (top > 0 && !((k >> top) & 1)) top--;
+        for (int j = 0; j < MAXL; j++) acc[j] = a[j];
+        for (int b = top - 1; b >= 0; b--) {
+            add(acc, acc, acc);
+            if ((k >> b) & 1) add(acc, a, acc);
+        }
+        for (int j = 0; j < MAXL; j++) out[j] = acc[j];
+    }
+
+    bool is_zero(const u64* a) const {
+        for (int j = 0; j < L; j++) if (a[j]) return false;
+        return true;
+    }
+
+    // ---- 64-bit ABI <-> 52-limb plain repacking ----
+    void repack_from64(const u64* src, u64* out) const {
+        for (int j = 0; j < L; j++) {
+            int bit = 52 * j;
+            int w = bit >> 6, sh = bit & 63;
+            u64 v = src[w] >> sh;
+            if (sh && w + 1 < L64) v |= src[w + 1] << (64 - sh);
+            out[j] = v & M52;
+        }
+        for (int j = L; j < MAXL; j++) out[j] = 0;
+    }
+    void repack_to64(const u64* a, u64* dst) const {
+        for (int j = 0; j < L64; j++) dst[j] = 0;
+        for (int j = 0; j < L; j++) {
+            int bit = 52 * j;
+            int w = bit >> 6, sh = bit & 63;
+            dst[w] |= a[j] << sh;
+            if (sh > 12 && w + 1 < L64) dst[w + 1] |= a[j] >> (64 - sh);
+        }
+    }
+    void abi_to_mont(const u64* src, u64* out) const {
+        u64 tmp[MAXL];
+        repack_from64(src, tmp);
+        mont_mul(tmp, r2, out);
+    }
+    void mont_to_abi(const u64* a, u64* dst) const {
+        u64 one[MAXL] = {1};
+        u64 tmp[MAXL];
+        mont_mul(a, one, tmp);
+        repack_to64(tmp, dst);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Engine 3: 8-way VERTICAL IFMA — one zmm lane per independent multiply.
+//
+// The 1-way Field52 kernel is latency-bound (the per-iteration m feedback
+// chain plus lane extracts).  The vertical form runs 8 INDEPENDENT
+// Montgomery multiplies with limb j of all 8 elements in vector T[j]:
+// every op is lane-parallel, there are no cross-lane shifts or extracts,
+// and the m-step is itself one vpmadd52lo.  Used by the Pippenger bucket
+// accumulation (a conflict-checked 8-slot queue of independent bucket
+// adds) and the window combine (8 windows' serial chains run side by side).
+// ---------------------------------------------------------------------------
+
+#if defined(__x86_64__)
+
+#define BP_TGT __attribute__((target("avx512f,avx512ifma,avx512vl,avx512dq")))
+
+struct Vec8 { __m512i v[MAXL]; };         // limb j of 8 elements in v[j]
+
+struct F52x8 {
+    const Field52* f;
+    __m512i P[MAXL];                      // broadcast p limbs? no: shared
+    __m512i n0;                           // broadcast n0inv
+    __m512i m52;
+
+    BP_TGT void init(const Field52& fld) {
+        f = &fld;
+        for (int j = 0; j < MAXL; j++)
+            P[j] = _mm512_set1_epi64((long long)fld.mod[j]);
+        n0 = _mm512_set1_epi64((long long)fld.n0inv);
+        m52 = _mm512_set1_epi64((long long)M52);
+    }
+
+    // OUT = A*B*R^-1 mod p, 8 independent lanes
+    BP_TGT void mont_mul(const Vec8& A, const Vec8& B, Vec8& OUT) const {
+        const int K = f->L;
+        const __m512i Z = _mm512_setzero_si512();
+        __m512i T[MAXL + 1];
+        for (int j = 0; j <= K; j++) T[j] = Z;
+        for (int i = 0; i < K; i++) {
+            const __m512i ai = A.v[i];
+            for (int j = 0; j < K; j++) {
+                T[j] = _mm512_madd52lo_epu64(T[j], ai, B.v[j]);
+                T[j + 1] = _mm512_madd52hi_epu64(T[j + 1], ai, B.v[j]);
+            }
+            const __m512i m = _mm512_madd52lo_epu64(
+                Z, _mm512_and_epi64(T[0], m52), n0);
+            for (int j = 0; j < K; j++) {
+                T[j] = _mm512_madd52lo_epu64(T[j], m, P[j]);
+                T[j + 1] = _mm512_madd52hi_epu64(T[j + 1], m, P[j]);
+            }
+            // low 52 bits of T[0] are now zero: fold its carry into T[1],
+            // then shift the window down one limb
+            T[1] = _mm512_add_epi64(T[1], _mm512_srli_epi64(T[0], 52));
+            for (int j = 0; j < K; j++) T[j] = T[j + 1];
+            T[K] = Z;
+        }
+        // resolve deferred carries (values < 2^58 per lane)
+        for (int j = 0; j < K; j++) {
+            T[j + 1] = _mm512_add_epi64(T[j + 1],
+                                        _mm512_srli_epi64(T[j], 52));
+            T[j] = _mm512_and_epi64(T[j], m52);
+        }
+        cond_sub(T, OUT);
+    }
+
+    // OUT = T mod p given canonical T[0..K-1] + tiny top T[K]
+    BP_TGT void cond_sub(const __m512i* T, Vec8& OUT) const {
+        const int K = f->L;
+        __m512i D[MAXL];
+        __m512i bw = _mm512_setzero_si512();
+        for (int j = 0; j < K; j++) {
+            __m512i s = _mm512_sub_epi64(
+                T[j], _mm512_add_epi64(P[j], bw));
+            bw = _mm512_srli_epi64(s, 63);
+            D[j] = _mm512_and_epi64(s, m52);
+        }
+        __mmask8 ge = _mm512_cmpge_epu64_mask(T[K], bw);
+        for (int j = 0; j < K; j++)
+            OUT.v[j] = _mm512_mask_blend_epi64(ge, T[j], D[j]);
+        for (int j = K; j < MAXL; j++) OUT.v[j] = _mm512_setzero_si512();
+    }
+
+    BP_TGT void add(const Vec8& A, const Vec8& B, Vec8& OUT) const {
+        const int K = f->L;
+        __m512i T[MAXL + 1];
+        __m512i c = _mm512_setzero_si512();
+        for (int j = 0; j < K; j++) {
+            __m512i s = _mm512_add_epi64(_mm512_add_epi64(A.v[j], B.v[j]),
+                                         c);
+            T[j] = _mm512_and_epi64(s, m52);
+            c = _mm512_srli_epi64(s, 52);
+        }
+        T[K] = c;
+        cond_sub(T, OUT);
+    }
+
+    BP_TGT void sub(const Vec8& A, const Vec8& B, Vec8& OUT) const {
+        const int K = f->L;
+        __m512i D[MAXL];
+        __m512i bw = _mm512_setzero_si512();
+        for (int j = 0; j < K; j++) {
+            __m512i s = _mm512_sub_epi64(
+                A.v[j], _mm512_add_epi64(B.v[j], bw));
+            bw = _mm512_srli_epi64(s, 63);
+            D[j] = _mm512_and_epi64(s, m52);
+        }
+        // lanes with borrow add p back
+        __mmask8 neg = _mm512_cmpneq_epu64_mask(bw,
+                                                _mm512_setzero_si512());
+        __m512i c = _mm512_setzero_si512();
+        for (int j = 0; j < K; j++) {
+            __m512i s = _mm512_add_epi64(_mm512_add_epi64(D[j], P[j]), c);
+            c = _mm512_srli_epi64(s, 52);
+            OUT.v[j] = _mm512_mask_blend_epi64(
+                neg, D[j], _mm512_and_epi64(s, m52));
+        }
+        for (int j = K; j < MAXL; j++) OUT.v[j] = _mm512_setzero_si512();
+    }
+
+    BP_TGT void mul_small(const Vec8& A, u64 k, Vec8& OUT) const {
+        Vec8 acc = A;
+        int top = 63;
+        while (top > 0 && !((k >> top) & 1)) top--;
+        for (int b = top - 1; b >= 0; b--) {
+            add(acc, acc, acc);
+            if ((k >> b) & 1) add(acc, A, acc);
+        }
+        OUT = acc;
+    }
+};
+
+struct Pt8 { Vec8 X, Y, Z; };
+
+// transpose-in: lane l of OUT limb j = src[l][j]
+BP_TGT static void gather8(const u64* const src[8], Vec8& out, int K) {
+    alignas(64) u64 tmp[8];
+    for (int j = 0; j < K; j++) {
+        for (int l = 0; l < 8; l++) tmp[l] = src[l][j];
+        out.v[j] = _mm512_load_si512((const void*)tmp);
+    }
+    for (int j = K; j < MAXL; j++) out.v[j] = _mm512_setzero_si512();
+}
+
+BP_TGT static void scatter8(const Vec8& in, u64* const dst[8], int K) {
+    alignas(64) u64 tmp[8];
+    for (int j = 0; j < K; j++) {
+        _mm512_store_si512((void*)tmp, in.v[j]);
+        for (int l = 0; l < 8; l++) dst[l][j] = tmp[l];
+    }
+}
+
+// 8 independent mixed complete adds (a = 0): R[l] = P[l] + Q[l]
+BP_TGT static void pt_add_mixed8(const F52x8& f, u64 b3,
+                                 const Pt8& P, const Vec8& QX,
+                                 const Vec8& QY, Pt8& R) {
+    Vec8 t0, t1, xy, yz, xz, sa, sb, m, n, tmp, tmp2, b3t2;
+    f.mont_mul(P.X, QX, t0);
+    f.mont_mul(P.Y, QY, t1);
+    f.add(P.X, P.Y, sa); f.add(QX, QY, sb);
+    f.mont_mul(sa, sb, xy); f.sub(xy, t0, xy); f.sub(xy, t1, xy);
+    f.mont_mul(QY, P.Z, tmp); f.add(P.Y, tmp, yz);
+    f.mont_mul(QX, P.Z, tmp); f.add(P.X, tmp, xz);
+    f.mul_small(P.Z, b3, b3t2);
+    f.sub(t1, b3t2, m);
+    f.add(t1, b3t2, n);
+    f.mont_mul(yz, xz, tmp); f.mul_small(tmp, b3, tmp);
+    f.mont_mul(xy, m, tmp2); f.sub(tmp2, tmp, R.X);
+    f.mont_mul(t0, xz, tmp); f.mul_small(tmp, 3 * b3, tmp);
+    f.mont_mul(n, m, tmp2); f.add(tmp2, tmp, R.Y);
+    f.mont_mul(t0, xy, tmp); f.mul_small(tmp, 3, tmp);
+    f.mont_mul(yz, n, tmp2); f.add(tmp2, tmp, R.Z);
+}
+
+// 8 independent full complete adds (a = 0): R[l] = P[l] + Q[l]
+BP_TGT static void pt_add8(const F52x8& f, u64 b3, const Pt8& P,
+                           const Pt8& Q, Pt8& R) {
+    Vec8 t0, t1, t2, xy, yz, xz, sa, sb, m, n, tmp, tmp2, b3t2;
+    f.mont_mul(P.X, Q.X, t0);
+    f.mont_mul(P.Y, Q.Y, t1);
+    f.mont_mul(P.Z, Q.Z, t2);
+    f.add(P.X, P.Y, sa); f.add(Q.X, Q.Y, sb);
+    f.mont_mul(sa, sb, xy); f.sub(xy, t0, xy); f.sub(xy, t1, xy);
+    f.add(P.Y, P.Z, sa); f.add(Q.Y, Q.Z, sb);
+    f.mont_mul(sa, sb, yz); f.sub(yz, t1, yz); f.sub(yz, t2, yz);
+    f.add(P.X, P.Z, sa); f.add(Q.X, Q.Z, sb);
+    f.mont_mul(sa, sb, xz); f.sub(xz, t0, xz); f.sub(xz, t2, xz);
+    f.mul_small(t2, b3, b3t2);
+    f.sub(t1, b3t2, m);
+    f.add(t1, b3t2, n);
+    f.mont_mul(yz, xz, tmp); f.mul_small(tmp, b3, tmp);
+    f.mont_mul(xy, m, tmp2); f.sub(tmp2, tmp, R.X);
+    f.mont_mul(t0, xz, tmp); f.mul_small(tmp, 3 * b3, tmp);
+    f.mont_mul(n, m, tmp2); f.add(tmp2, tmp, R.Y);
+    f.mont_mul(t0, xy, tmp); f.mul_small(tmp, 3, tmp);
+    f.mont_mul(yz, n, tmp2); f.add(tmp2, tmp, R.Z);
+}
+
+#endif  // __x86_64__
+
+static bool ifma_available() {
+#if defined(__x86_64__)
+    static int ok = -1;
+    if (ok < 0) {
+        const char* env = getenv("BP_NATIVE_IFMA");
+        if (env && env[0] == '0') ok = 0;
+        else ok = __builtin_cpu_supports("avx512ifma") &&
+                  __builtin_cpu_supports("avx512f") ? 1 : 0;
+    }
+    return ok == 1;
+#else
+    return false;
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// Curve + point ops, templated over the field engine
+// ---------------------------------------------------------------------------
+
+template <class F>
+struct CurveT {
+    F fp;
     int Lr;                 // scalar limb count (plain form scalars)
     u64 b3;                 // 3*b as a small integer (a = 0 curves)
     u64 one_m[MAXL];        // Montgomery 1 in fp
@@ -145,17 +544,20 @@ struct Curve {
 };
 
 struct Pt { u64 X[MAXL], Y[MAXL], Z[MAXL]; };
+struct PtAff { u64 X[MAXL], Y[MAXL]; };
 
-static void pt_identity(const Curve& c, Pt& p) {
+template <class F>
+static void pt_identity(const CurveT<F>& c, Pt& p) {
     memset(&p, 0, sizeof(Pt));
-    for (int j = 0; j < c.fp.L; j++) p.Y[j] = c.one_m[j];
+    for (int j = 0; j < MAXL; j++) p.Y[j] = c.one_m[j];
 }
 
 // Complete projective add, RCB16 (same formulas as ops/ec_host.py):
 // the a=0 specialization (algorithm 7) for the pairing curves/secp256k1,
 // the general-a algorithm 1 for ed25519's Weierstrass form.
-static void pt_add(const Curve& c, const Pt& P, const Pt& Q, Pt& R) {
-    const Field& f = c.fp;
+template <class F>
+static void pt_add(const CurveT<F>& c, const Pt& P, const Pt& Q, Pt& R) {
+    const F& f = c.fp;
     u64 t0[MAXL], t1[MAXL], t2[MAXL], xy[MAXL], yz[MAXL], xz[MAXL];
     u64 sa[MAXL], sb[MAXL], m[MAXL], n[MAXL], tmp[MAXL], tmp2[MAXL];
 
@@ -210,16 +612,15 @@ static void pt_add(const Curve& c, const Pt& P, const Pt& Q, Pt& R) {
     f.mont_mul(yz, n, tmp2); f.add(tmp2, tmp, R.Z);
 }
 
-struct PtAff { u64 X[MAXL], Y[MAXL]; };
-
 // Mixed complete add (Z2 = 1, a = 0 curves): saves the Z1*Z2 product and
 // turns yz/xz into single multiplies (11 Montgomery muls vs 12 + cheaper
 // add chains).  Still complete in P (identity P handled; affine Q cannot
 // encode the identity — the MSM driver zeroes identity points' scalars so
 // they are never scheduled).
-static void pt_add_mixed(const Curve& c, const Pt& P, const PtAff& Q,
+template <class F>
+static void pt_add_mixed(const CurveT<F>& c, const Pt& P, const PtAff& Q,
                          Pt& R) {
-    const Field& f = c.fp;
+    const F& f = c.fp;
     u64 t0[MAXL], t1[MAXL], xy[MAXL], yz[MAXL], xz[MAXL];
     u64 sa[MAXL], sb[MAXL], m[MAXL], n[MAXL], tmp[MAXL], tmp2[MAXL];
 
@@ -247,6 +648,17 @@ static inline int scalar_bit(const u64* k, int Lr, int bit) {
     return (k[bit >> 6] >> (bit & 63)) & 1;
 }
 
+// digit w of the base-2^cbits decomposition: a two-word windowed read
+// (replaces the bit-by-bit loop — ~cbits x fewer ops in the Pippenger
+// scheduling pass)
+static inline u64 scalar_digit(const u64* k, int Lr, int w, int cbits) {
+    int bit = w * cbits;
+    int word = bit >> 6, sh = bit & 63;
+    u64 v = k[word] >> sh;
+    if (sh + cbits > 64 && word + 1 < Lr) v |= k[word + 1] << (64 - sh);
+    return v & (((u64)1 << cbits) - 1);
+}
+
 static int scalar_bits(const u64* k, int Lr) {
     for (int j = Lr - 1; j >= 0; j--) {
         if (k[j]) {
@@ -258,7 +670,9 @@ static int scalar_bits(const u64* k, int Lr) {
     return 0;
 }
 
-static void pt_scalar_mul(const Curve& c, const Pt& P, const u64* k, Pt& R) {
+template <class F>
+static void pt_scalar_mul(const CurveT<F>& c, const Pt& P, const u64* k,
+                          Pt& R) {
     pt_identity(c, R);
     int bits = scalar_bits(k, c.Lr);
     for (int b = bits - 1; b >= 0; b--) {
@@ -275,10 +689,11 @@ static void pt_scalar_mul(const Curve& c, const Pt& P, const u64* k, Pt& R) {
 // points: n * 3 * Lp plain-form limbs (X, Y, Z projective)
 // ---------------------------------------------------------------------------
 
-static Curve load_curve(const u64* p) {
-    Curve c;
+static CurveT<Field> load_curve(const u64* p) {
+    CurveT<Field> c;
     memset(&c, 0, sizeof(c));
     c.fp.L = (int)p[0];
+    c.fp.L64 = c.fp.L;
     c.fp.n0inv = p[1];
     memcpy(c.fp.mod, p + 2, 8 * sizeof(u64));
     memcpy(c.fp.r2, p + 10, 8 * sizeof(u64));
@@ -292,36 +707,99 @@ static Curve load_curve(const u64* p) {
     return c;
 }
 
-static void load_pt(const Curve& c, const u64* src, Pt& p) {
+// ---- bignum helpers for deriving the 52-limb constants at load time ----
+
+static int field52_limbs(const Field& f64) {
+    int bits = 0;
+    for (int j = f64.L - 1; j >= 0; j--) {
+        if (f64.mod[j]) { bits = j * 64 + 64; u64 v = f64.mod[j];
+            while (!(v >> 63)) { v <<= 1; bits--; } break; }
+    }
+    return (bits + 51) / 52;
+}
+
+// Build the 52-limb engine + curve constants from the 64-bit curve.
+static CurveT<Field52> to52(const CurveT<Field>& c64) {
+    CurveT<Field52> c;
+    memset(&c, 0, sizeof(c));
+    const Field& f64 = c64.fp;
+    Field52& f = c.fp;
+    f.L64 = f64.L;
+    f.L = field52_limbs(f64);
+    f.repack_from64(f64.mod, f.mod);     // repack uses L/L64 set above
+
+    // n0inv = -p^-1 mod 2^52 (Newton iteration in 2^64, then mask)
+    u64 inv = f64.mod[0];                // p odd: converges to p^-1 mod 2^64
+    for (int i = 0; i < 6; i++) inv *= 2 - f64.mod[0] * inv;
+    f.n0inv = ((u64)0 - inv) & M52;
+
+    // r2 = (2^(52L))^2 mod p by 104L modular doublings of 1
+    u64 v[MAXL + 1];
+    memset(v, 0, sizeof(v));
+    v[0] = 1;
+    for (int i = 0; i < 104 * f.L; i++) {
+        u64 carry = 0;
+        for (int j = 0; j < f.L; j++) {
+            u64 s = (v[j] << 1) | carry;
+            v[j] = s & M52;
+            carry = (s >> 52) & 1;
+        }
+        v[f.L] = carry;
+        f.cond_sub(v, v);
+        v[f.L] = 0;
+    }
+    memcpy(f.r2, v, sizeof(f.r2));
+
+    // curve constants: convert via plain 64-limb ABI form
+    u64 plain[MAXL];
+    f64.mont_to_abi(c64.one_m, plain);   // == 1
+    f.abi_to_mont(plain, c.one_m);
+    c.Lr = c64.Lr;
+    c.b3 = c64.b3;
+    c.a_nonzero = c64.a_nonzero;
+    if (c.a_nonzero) {
+        f64.mont_to_abi(c64.a_m, plain);  f.abi_to_mont(plain, c.a_m);
+        f64.mont_to_abi(c64.a2_m, plain); f.abi_to_mont(plain, c.a2_m);
+        f64.mont_to_abi(c64.b3_m, plain); f.abi_to_mont(plain, c.b3_m);
+    }
+    return c;
+}
+
+template <class F>
+static void load_pt(const CurveT<F>& c, const u64* src, Pt& p) {
     memset(&p, 0, sizeof(Pt));
-    int L = c.fp.L;
-    c.fp.to_mont(src, p.X);
-    c.fp.to_mont(src + L, p.Y);
-    c.fp.to_mont(src + 2 * L, p.Z);
+    int L = c.fp.L64;
+    c.fp.abi_to_mont(src, p.X);
+    c.fp.abi_to_mont(src + L, p.Y);
+    c.fp.abi_to_mont(src + 2 * L, p.Z);
 }
 
-static void store_pt(const Curve& c, const Pt& p, u64* dst) {
-    int L = c.fp.L;
-    c.fp.from_mont(p.X, dst);
-    c.fp.from_mont(p.Y, dst + L);
-    c.fp.from_mont(p.Z, dst + 2 * L);
+template <class F>
+static void store_pt(const CurveT<F>& c, const Pt& p, u64* dst) {
+    int L = c.fp.L64;
+    c.fp.mont_to_abi(p.X, dst);
+    c.fp.mont_to_abi(p.Y, dst + L);
+    c.fp.mont_to_abi(p.Z, dst + 2 * L);
 }
 
-extern "C" {
+// ---------------------------------------------------------------------------
+// Entry-point bodies (templated; extern "C" wrappers dispatch on IFMA)
+// ---------------------------------------------------------------------------
 
 // out = sum_i scalars[i] * points[i]  (Pippenger, var-time)
 // `points` are AFFINE (x, y) pairs (the Python driver batch-normalizes and
 // zeroes the scalars of identity points); bucket accumulation uses mixed
 // adds on a=0 curves.
-void bp_msm(const u64* params, const u64* points, const u64* scalars,
-            u64 n, u64* out) {
-    Curve c = load_curve(params);
-    int L = c.fp.L, Lr = c.Lr;
+template <class F>
+static void msm_impl(const CurveT<F>& c, const u64* points,
+                     const u64* scalars, u64 n, u64* out) {
+    int L = c.fp.L64, Lr = c.Lr;
 
     std::vector<PtAff> pts(n);
     for (u64 i = 0; i < n; i++) {
-        c.fp.to_mont(points + i * 2 * L, pts[i].X);
-        c.fp.to_mont(points + i * 2 * L + L, pts[i].Y);
+        memset(&pts[i], 0, sizeof(PtAff));
+        c.fp.abi_to_mont(points + i * 2 * L, pts[i].X);
+        c.fp.abi_to_mont(points + i * 2 * L + L, pts[i].Y);
     }
 
     int maxbits = 0;
@@ -332,10 +810,6 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
     Pt total; pt_identity(c, total);
     if (maxbits == 0) { store_pt(c, total, out); return; }
 
-    // window size from the cost model: per window, ~n mixed adds of
-    // accumulation (weight 0.85 vs full adds) + 2*2^c full adds of dense
-    // combine; minimize over c (a log2(n)-sized c makes the combine as
-    // expensive as accumulation)
     // empirically-swept window sizes (n=4183 on this host: c=9 353 ms,
     // c=8 381, c=10 362, c=11 404, c=12 530)
     int cbits;
@@ -357,19 +831,15 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
     std::vector<bool> used(nbuckets);
 
     Pt full_q;                        // staging for the a != 0 fallback
-    for (int j = 0; j < L; j++) full_q.Z[j] = c.one_m[j];
+    memset(&full_q, 0, sizeof(full_q));
+    for (int j = 0; j < MAXL; j++) full_q.Z[j] = c.one_m[j];
 
     for (int w = nwin - 1; w >= 0; w--) {
         for (int d = 0; d < cbits; d++) pt_add(c, total, total, total);
         std::fill(used.begin(), used.end(), false);
         for (u64 i = 0; i < n; i++) {
             const u64* k = scalars + i * Lr;
-            u64 dig = 0;
-            for (int b = cbits - 1; b >= 0; b--) {
-                int bit = w * cbits + b;
-                dig = (dig << 1) |
-                      (bit < maxbits ? scalar_bit(k, Lr, bit) : 0);
-            }
+            const u64 dig = scalar_digit(k, Lr, w, cbits);
             if (!dig) continue;
             if (used[dig]) {
                 if (!c.a_nonzero) {
@@ -383,7 +853,8 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
                 memset(&buckets[dig], 0, sizeof(Pt));
                 memcpy(buckets[dig].X, pts[i].X, sizeof(full_q.X));
                 memcpy(buckets[dig].Y, pts[i].Y, sizeof(full_q.Y));
-                for (int j = 0; j < L; j++) buckets[dig].Z[j] = c.one_m[j];
+                for (int j = 0; j < MAXL; j++)
+                    buckets[dig].Z[j] = c.one_m[j];
                 used[dig] = true;
             }
         }
@@ -399,11 +870,181 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
     store_pt(c, total, out);
 }
 
+#if defined(__x86_64__)
+
+// 8-way IFMA Pippenger (a = 0 curves): buckets are identity-initialized so
+// every scheduled point-window is an unconditional complete mixed add; a
+// conflict-checked 8-slot queue batches independent bucket adds into one
+// vertical pt_add_mixed8; the per-window bucket combine (two serial
+// running sums) runs 8 windows side by side.
+BP_TGT
+static void msm_ifma8(const CurveT<Field52>& c, const u64* points,
+                      const u64* scalars, u64 n, u64* out) {
+    const int L = c.fp.L64, Lr = c.Lr;
+    F52x8 fx; fx.init(c.fp);
+
+    std::vector<PtAff> pts(n);
+    for (u64 i = 0; i < n; i++) {
+        memset(&pts[i], 0, sizeof(PtAff));
+        c.fp.abi_to_mont(points + i * 2 * L, pts[i].X);
+        c.fp.abi_to_mont(points + i * 2 * L + L, pts[i].Y);
+    }
+
+    int maxbits = 0;
+    for (u64 i = 0; i < n; i++) {
+        int b = scalar_bits(scalars + i * Lr, Lr);
+        if (b > maxbits) maxbits = b;
+    }
+    Pt total; pt_identity(c, total);
+    if (maxbits == 0) { store_pt(c, total, out); return; }
+
+    // batched accumulation shifts the cost balance toward the combine:
+    // swept on this host with the x8 engine (round 3: n=2048 c=8 38 ms,
+    // n=4160 c=8 67 ms, n=16384 c=10 197 ms, n=65536 c=11 0.65 s)
+    int cbits;
+    if (n < 128) cbits = 4;
+    else if (n < 512) cbits = 6;
+    else if (n < 8192) cbits = 8;
+    else if (n < 32768) cbits = 10;
+    else cbits = 11;
+    const char* ov = getenv("BP_CPP_WINDOW");
+    if (ov && ov[0]) {
+        int v = atoi(ov);
+        if (v >= 1 && v <= 16) cbits = v;
+    }
+
+    const int nwin = (maxbits + cbits - 1) / cbits;
+    const u64 nbuckets = (u64)1 << cbits;
+    std::vector<Pt> buckets(nwin * nbuckets);
+    for (auto& b : buckets) pt_identity(c, b);
+
+    // ---- phase A: bucket accumulation via the 8-slot queue ----
+    Pt* qb[8];            // pending bucket pointers
+    const PtAff* qp[8];   // pending points
+    int pend = 0;
+
+    auto flush = [&]() {
+        if (pend == 8) {
+            const u64* bx[8]; const u64* by[8]; const u64* bz[8];
+            const u64* qx[8]; const u64* qy[8];
+            u64* ox[8]; u64* oy[8]; u64* oz[8];
+            for (int l = 0; l < 8; l++) {
+                bx[l] = qb[l]->X; by[l] = qb[l]->Y; bz[l] = qb[l]->Z;
+                qx[l] = qp[l]->X; qy[l] = qp[l]->Y;
+                ox[l] = qb[l]->X; oy[l] = qb[l]->Y; oz[l] = qb[l]->Z;
+            }
+            Pt8 P8; Vec8 QX, QY;
+            const int K = c.fp.L;
+            gather8(bx, P8.X, K); gather8(by, P8.Y, K);
+            gather8(bz, P8.Z, K);
+            gather8(qx, QX, K); gather8(qy, QY, K);
+            pt_add_mixed8(fx, c.b3, P8, QX, QY, P8);
+            scatter8(P8.X, ox, K); scatter8(P8.Y, oy, K);
+            scatter8(P8.Z, oz, K);
+        } else {
+            for (int l = 0; l < pend; l++)
+                pt_add_mixed(c, *qb[l], *qp[l], *qb[l]);
+        }
+        pend = 0;
+    };
+
+    const u64 PF = 24;     // prefetch lookahead (points ahead)
+    for (int w = 0; w < nwin; w++) {
+        Pt* bw = buckets.data() + (u64)w * nbuckets;
+        for (u64 i = 0; i < n; i++) {
+            // the bucket array exceeds L2 at production window sizes:
+            // prefetch the bucket of point i+PF so its random-access miss
+            // latency overlaps the ~3 flushes in between
+            if (i + PF < n) {
+                u64 dpf = scalar_digit(scalars + (i + PF) * Lr, Lr, w,
+                                       cbits);
+                __builtin_prefetch((const char*)(bw + dpf), 1);
+                __builtin_prefetch((const char*)(bw + dpf) + 64, 1);
+                __builtin_prefetch((const char*)(bw + dpf) + 128, 1);
+            }
+            const u64* k = scalars + i * Lr;
+            const u64 dig = scalar_digit(k, Lr, w, cbits);
+            if (!dig) continue;
+            Pt* slot = bw + dig;
+            bool conflict = false;
+            for (int l = 0; l < pend; l++)
+                if (qb[l] == slot) { conflict = true; break; }
+            if (conflict || pend == 8) flush();
+            qb[pend] = slot; qp[pend] = &pts[i]; pend++;
+        }
+        flush();           // window boundary (bucket pointers stay valid,
+                           // but keep rounds deterministic per window)
+    }
+
+    // ---- phase B: per-window weighted bucket sums, 8 windows at once ----
+    std::vector<Pt> totals(nwin);
+    int w0 = 0;
+    for (; w0 + 8 <= nwin; w0 += 8) {
+        Pt run[8], sub[8];
+        for (int l = 0; l < 8; l++) {
+            pt_identity(c, run[l]);
+            pt_identity(c, sub[l]);
+        }
+        Pt8 RUN, SUB;
+        const int K = c.fp.L;
+        {
+            const u64* rx[8]; const u64* ry[8]; const u64* rz[8];
+            for (int l = 0; l < 8; l++) {
+                rx[l] = run[l].X; ry[l] = run[l].Y; rz[l] = run[l].Z;
+            }
+            gather8(rx, RUN.X, K); gather8(ry, RUN.Y, K);
+            gather8(rz, RUN.Z, K);
+            SUB = RUN;
+        }
+        for (u64 d = nbuckets - 1; d >= 1; d--) {
+            const u64* bx[8]; const u64* by[8]; const u64* bz[8];
+            for (int l = 0; l < 8; l++) {
+                const Pt& b = buckets[(u64)(w0 + l) * nbuckets + d];
+                bx[l] = b.X; by[l] = b.Y; bz[l] = b.Z;
+            }
+            Pt8 B8;
+            gather8(bx, B8.X, K); gather8(by, B8.Y, K);
+            gather8(bz, B8.Z, K);
+            pt_add8(fx, c.b3, RUN, B8, RUN);
+            pt_add8(fx, c.b3, SUB, RUN, SUB);
+        }
+        {
+            u64* sx[8]; u64* sy[8]; u64* sz[8];
+            for (int l = 0; l < 8; l++) {
+                sx[l] = totals[w0 + l].X; sy[l] = totals[w0 + l].Y;
+                sz[l] = totals[w0 + l].Z;
+            }
+            scatter8(SUB.X, sx, K); scatter8(SUB.Y, sy, K);
+            scatter8(SUB.Z, sz, K);
+        }
+    }
+    for (; w0 < nwin; w0++) {               // remainder windows, 1-way
+        Pt running, subtotal;
+        pt_identity(c, running);
+        pt_identity(c, subtotal);
+        const Pt* bw = buckets.data() + (u64)w0 * nbuckets;
+        for (u64 d = nbuckets - 1; d >= 1; d--) {
+            pt_add(c, running, bw[d], running);
+            pt_add(c, subtotal, running, subtotal);
+        }
+        totals[w0] = subtotal;
+    }
+
+    // ---- Horner over windows (serial tail) ----
+    for (int w = nwin - 1; w >= 0; w--) {
+        for (int d = 0; d < cbits; d++) pt_add(c, total, total, total);
+        pt_add(c, total, totals[w], total);
+    }
+    store_pt(c, total, out);
+}
+
+#endif  // __x86_64__
+
 // out[i] = s1[i]*PL[i] + s2[i]*PR[i]  (Straus shared-doubling ladder)
-void bp_fold(const u64* params, const u64* PL, const u64* PR,
-             const u64* s1, const u64* s2, u64 n, u64* out) {
-    Curve c = load_curve(params);
-    int L = c.fp.L, Lr = c.Lr;
+template <class F>
+static void fold_impl(const CurveT<F>& c, const u64* PL, const u64* PR,
+                      const u64* s1, const u64* s2, u64 n, u64* out) {
+    int L = c.fp.L64, Lr = c.Lr;
     for (u64 i = 0; i < n; i++) {
         Pt a, b, tab3, acc;
         load_pt(c, PL + i * 3 * L, a);
@@ -426,11 +1067,10 @@ void bp_fold(const u64* params, const u64* PL, const u64* PR,
     }
 }
 
-// out[i] = k[i] * P[i]
-void bp_scalar_mul_batch(const u64* params, const u64* P, const u64* k,
-                         u64 n, u64* out) {
-    Curve c = load_curve(params);
-    int L = c.fp.L;
+template <class F>
+static void scalar_mul_batch_impl(const CurveT<F>& c, const u64* P,
+                                  const u64* k, u64 n, u64* out) {
+    int L = c.fp.L64;
     for (u64 i = 0; i < n; i++) {
         Pt p, r;
         load_pt(c, P + i * 3 * L, p);
@@ -446,11 +1086,12 @@ void bp_scalar_mul_batch(const u64* params, const u64* P, const u64* k,
 // T_w = K*(sum_g g*rowsum) + sum_k k*colsum, then the Horner window combine
 // acc = 2^c*acc + T_w — which on the TPU is a ~300-step latency-bound chain
 // of single-point adds.  nwin = nsets * wins_per_set windows total.
-void bp_combine_rowcol(const u64* params, const u64* rowsum,
-                       const u64* colsum, u64 nwin, u64 gsize, u64 ksize,
-                       u64 cbits, u64 wins_per_set, u64* out) {
-    Curve c = load_curve(params);
-    int L = c.fp.L;
+template <class F>
+static void combine_rowcol_impl(const CurveT<F>& c, const u64* rowsum,
+                                const u64* colsum, u64 nwin, u64 gsize,
+                                u64 ksize, u64 cbits, u64 wins_per_set,
+                                u64* out) {
+    int L = c.fp.L64;
     std::vector<Pt> totals(nwin);
     for (u64 w = 0; w < nwin; w++) {
         // wr = sum_g g * rowsum[w,g]  (descending running sums)
@@ -486,17 +1127,82 @@ void bp_combine_rowcol(const u64* params, const u64* rowsum,
     }
 }
 
-// out[i] = P[i] + Q[i]  (cross-check primitive)
-void bp_add_batch(const u64* params, const u64* P, const u64* Q,
-                  u64 n, u64* out) {
-    Curve c = load_curve(params);
-    int L = c.fp.L;
+template <class F>
+static void add_batch_impl(const CurveT<F>& c, const u64* P, const u64* Q,
+                           u64 n, u64* out) {
+    int L = c.fp.L64;
     for (u64 i = 0; i < n; i++) {
         Pt p, q, r;
         load_pt(c, P + i * 3 * L, p);
         load_pt(c, Q + i * 3 * L, q);
         pt_add(c, p, q, r);
         store_pt(c, r, out + i * 3 * L);
+    }
+}
+
+extern "C" {
+
+void bp_msm(const u64* params, const u64* points, const u64* scalars,
+            u64 n, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+#if defined(__x86_64__)
+        if (!c.a_nonzero) {
+            msm_ifma8(c52, points, scalars, n, out);
+            return;
+        }
+#endif
+        msm_impl(c52, points, scalars, n, out);
+    } else {
+        msm_impl(c, points, scalars, n, out);
+    }
+}
+
+void bp_fold(const u64* params, const u64* PL, const u64* PR,
+             const u64* s1, const u64* s2, u64 n, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+        fold_impl(c52, PL, PR, s1, s2, n, out);
+    } else {
+        fold_impl(c, PL, PR, s1, s2, n, out);
+    }
+}
+
+void bp_scalar_mul_batch(const u64* params, const u64* P, const u64* k,
+                         u64 n, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+        scalar_mul_batch_impl(c52, P, k, n, out);
+    } else {
+        scalar_mul_batch_impl(c, P, k, n, out);
+    }
+}
+
+void bp_combine_rowcol(const u64* params, const u64* rowsum,
+                       const u64* colsum, u64 nwin, u64 gsize, u64 ksize,
+                       u64 cbits, u64 wins_per_set, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+        combine_rowcol_impl(c52, rowsum, colsum, nwin, gsize, ksize,
+                            cbits, wins_per_set, out);
+    } else {
+        combine_rowcol_impl(c, rowsum, colsum, nwin, gsize, ksize,
+                            cbits, wins_per_set, out);
+    }
+}
+
+void bp_add_batch(const u64* params, const u64* P, const u64* Q,
+                  u64 n, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+        add_batch_impl(c52, P, Q, n, out);
+    } else {
+        add_batch_impl(c, P, Q, n, out);
     }
 }
 
