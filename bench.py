@@ -74,22 +74,32 @@ def main():
         extras["msm_seconds_p50"] = round(med, 4)
         extras["compile_seconds"] = round(compile_s, 1)
 
-        # ---- measured native baseline: same MSM, serial C++ backend ----
+        # ---- measured native baselines: same MSM, serial C++ backend ----
+        # two engines: the AVX512-IFMA 8-way path (this repo's best native)
+        # and the portable 64-bit CIOS path (AMCL-class arithmetic — the
+        # honest stand-in for the reference's serial Rust MSM, and the
+        # vs_baseline denominator)
         from bulletproofs_tpu.ops.cpp_backend import CppBackend
         from bulletproofs_tpu.ops.field_host import Scalar as HostScalar
         scl = [HostScalar(v) for v in vals]
         cb = CppBackend()
-        nat_times = []
-        for _ in range(2):
+        t0 = time.time()
+        nat_out = cb.msm(pts, scl)
+        nat_best = time.time() - t0
+        extras["native_msm_seconds"] = round(nat_best, 3)
+        extras["native_msm_points_per_s"] = round(N / nat_best)
+        assert nat_out == out[0], "device and native MSM disagree"
+        os.environ["BP_NATIVE_IFMA"] = "0"
+        try:
             t0 = time.time()
-            nat_out = cb.msm(pts, scl)
-            nat_times.append(time.time() - t0)
-        nat_med = min(nat_times)
-        native_pps = N / nat_med
-        extras["native_msm_seconds"] = round(nat_med, 3)
-        extras["native_msm_points_per_s"] = round(native_pps)
-        assert nat_out == ej.from_device_points(out, ctx)[0], \
-            "device and native MSM disagree"
+            nat_out2 = cb.msm(pts, scl)
+            nat_port = time.time() - t0
+        finally:
+            del os.environ["BP_NATIVE_IFMA"]
+        assert nat_out2 == nat_out, "IFMA and portable MSM disagree"
+        native_pps = N / nat_port
+        extras["native_portable_msm_seconds"] = round(nat_port, 3)
+        extras["native_portable_msm_points_per_s"] = round(native_pps)
 
         # ---- BASELINE config #1: single 64-bit range proof (auto) ----
         try:
@@ -245,6 +255,29 @@ def main():
             extras["poseidon_hash4_per_s"] = round(nh / dt)
         except Exception as e:                       # pragma: no cover
             extras["poseidon_error"] = repr(e)[:200]
+
+        # ---- SMT-4 bulk update throughput (batched device Poseidon) ----
+        try:
+            from bulletproofs_tpu.models.helper_constraints.poseidon import (
+                PoseidonParams, SboxType)
+            from bulletproofs_tpu.models.helper_constraints.\
+                sparse_merkle_tree_4_ary import VanillaSparseMerkleTree_4
+            from bulletproofs_tpu.utils.hash_db import InMemoryHashDb
+            from bulletproofs_tpu.ops.field_host import Scalar
+            params5 = PoseidonParams(5, 4, 4, 56)
+            depth12 = 12
+            dbs = InMemoryHashDb()
+            tree = VanillaSparseMerkleTree_4(params5, depth12, dbs)
+            rnds = random.Random(13)
+            n_upd = 4096
+            pairs = [(Scalar(rnds.randrange(4 ** depth12)),
+                      Scalar.random(rnds)) for _ in range(n_upd)]
+            tree.batch_update(pairs[:256], dbs)     # warm compile
+            t0 = time.time()
+            tree.batch_update(pairs, dbs)
+            extras["smt4_updates_per_s"] = round(n_upd / (time.time() - t0))
+        except Exception as e:                       # pragma: no cover
+            extras["smt4_error"] = repr(e)[:200]
 
         # ---- roofline: in-loop kernel throughput vs speed-of-light ----
         try:

@@ -46,7 +46,8 @@ def get_lib():
             _build()
         _lib = ctypes.CDLL(_SO)
         for fn in ("bp_msm", "bp_fold", "bp_scalar_mul_batch",
-                   "bp_add_batch", "bp_combine_rowcol"):
+                   "bp_add_batch", "bp_combine_rowcol",
+                   "bp_combine_totals"):
             getattr(_lib, fn).restype = None
     return _lib
 

@@ -38,6 +38,19 @@ from .ec_jax import CurveCtx, ec_add, ec_double, to_device_points, \
     to_device_scalars, from_device_points
 
 
+def _ec_kernel_choice():
+    """BP_EC_KERNEL in {auto, pallas, xla}: auto uses the fused Mosaic
+    round kernel on real TPU hardware, plain XLA elsewhere (pallas TPU
+    kernels don't lower on the CPU test mesh)."""
+    import os
+    mode = os.environ.get("BP_EC_KERNEL", "auto")
+    if mode in ("pallas", "xla"):
+        return mode
+    # the tunneled TPU plugin registers as "axon"; anything non-CPU is a
+    # real TPU target where Mosaic lowers
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 def pick_window(n: int) -> int:
     """Even window size.  Larger c costs more combine work (~2*2^c/window)
     but fewer sequential rounds (round depth = max bucket occupancy
@@ -273,16 +286,39 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     found = found.reshape(n_rounds // K, K, W, B)
     buckets0 = ctx.identity_like((K, W, B))
 
-    def body(t, buckets):
-        pid = jnp.minimum(grid[t], n - 1)          # (K, W, B)
-        ok = found[t]
-        if w_off is not None:
-            pid = pid + w_off[None]
-        rows = points_rows[pid.reshape(-1)]
-        pts = rows.reshape(K, W, B, 3, L).transpose(3, 4, 0, 1, 2)
-        delta = jnp.where(ok[None, None], pts,
-                          identity.reshape(3, -1, 1, 1, 1))
-        return ec_add(buckets, delta, ctx)
+    # Fused Mosaic round kernel (ops/ec_pallas.py): the gathered rows feed
+    # one pallas kernel doing transpose + identity-mask + complete add with
+    # all intermediates VMEM-resident — measured 523 vs 723 us/round on
+    # v5e at the n=2^16 shape (scripts/bench_ec_add_variants.py, round 3).
+    # XLA fallback: CPU tests, ed25519 (a != 0), odd slot counts.
+    use_pallas = _ec_kernel_choice() == "pallas" and K == 1
+    if use_pallas:
+        from .ec_pallas import bucket_round_supported
+        use_pallas = bucket_round_supported(ctx, W * B)
+
+    if use_pallas:
+        from .ec_pallas import bucket_round_add_pallas
+
+        def body(t, buckets):
+            pid = jnp.minimum(grid[t], n - 1)      # (1, W, B)
+            if w_off is not None:
+                pid = pid + w_off[None]
+            rows = points_rows[pid.reshape(-1)]    # (S, 3L)
+            out = bucket_round_add_pallas(
+                buckets.reshape(3, L, W * B), rows,
+                found[t].reshape(-1), ctx)
+            return out.reshape(buckets.shape)
+    else:
+        def body(t, buckets):
+            pid = jnp.minimum(grid[t], n - 1)      # (K, W, B)
+            ok = found[t]
+            if w_off is not None:
+                pid = pid + w_off[None]
+            rows = points_rows[pid.reshape(-1)]
+            pts = rows.reshape(K, W, B, 3, L).transpose(3, 4, 0, 1, 2)
+            delta = jnp.where(ok[None, None], pts,
+                              identity.reshape(3, -1, 1, 1, 1))
+            return ec_add(buckets, delta, ctx)
 
     buckets = jax.lax.fori_loop(0, n_rounds // K, body, buckets0)
     # merge the K slices: halving tree of (.., K/2^s, W, B) adds
@@ -369,20 +405,28 @@ def bucket_rowcol(buckets, ctx: CurveCtx, c: int):
     return rowsum, colsum
 
 
+def window_totals(rowsum, colsum, ctx: CurveCtx, c: int):
+    """Per-window totals T_w = K*(sum_g g*rowsum) + sum_k k*colsum.
+    The weighted running sums are short sequential chains (G-1 and K-1
+    steps) but run PARALLEL across all windows — ~35 latency-bound steps
+    total, independent of n.  (3, L, W, G/K) -> (3, L, W)."""
+    G, K = rowsum.shape[3], colsum.shape[3]
+    wr = _running_weighted_sum(rowsum, G, ctx)    # sum_g g*rowsum (3, L, W)
+    wc = _running_weighted_sum(colsum, K, ctx)    # sum_k k*colsum (3, L, W)
+    for _ in range(c - (c + 1) // 2):             # K * wr
+        wr = ec_double(wr, ctx)
+    return ec_add(wr, wc, ctx)                    # (3, L, W)
+
+
 def combine_from_rowcol(rowsum, colsum, ctx: CurveCtx, c: int,
                         wins_per_set=None):
     """Device serial tail of the combine.  rowsum (3, L, W, G), colsum
     (3, L, W, K); W = n_sets * wins_per_set windows -> (3, L, n_sets)."""
     W = rowsum.shape[2]
-    G, K = rowsum.shape[3], colsum.shape[3]
     if wins_per_set is None:
         wins_per_set = W
     n_sets = W // wins_per_set
-    wr = _running_weighted_sum(rowsum, G, ctx)    # sum_g g*rowsum (3, L, W)
-    wc = _running_weighted_sum(colsum, K, ctx)    # sum_k k*colsum (3, L, W)
-    for _ in range(c - (c + 1) // 2):             # K * wr
-        wr = ec_double(wr, ctx)
-    totals = ec_add(wr, wc, ctx)                  # (3, L, W)
+    totals = window_totals(rowsum, colsum, ctx, c)
     totals = totals.reshape(totals.shape[:2] + (n_sets, wins_per_set))
 
     # Horner over each set's windows: acc = 2^c * acc + T_w, w = Wps-1 .. 0
@@ -407,7 +451,7 @@ def combine_buckets(buckets, ctx: CurveCtx, c: int):
 # Top level
 # ---------------------------------------------------------------------------
 
-def occupancy_guess(n, ctx, c, margin_sigma=6.0):
+def occupancy_guess(n, ctx, c, margin_sigma=4.0):
     """STATIC round-count guess: worst per-window mean occupancy under the
     split plan plus a Poisson tail margin, rounded to a multiple of 16 (a
     handful of distinct values keeps the jit cache warm).  The kernels
@@ -441,25 +485,27 @@ def _digits_multi(scalars, ctx, c):
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _msm_multi_rowcol_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
+def _msm_multi_totals_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
                           pre_reduce=0):
     """S scalar sets against one point vector in ONE bucket pass (the two
     L/R MSMs of an IPA round share the point table and the round grid).
-    Returns (flat rowcol sums, occ) with sums in PLAIN (non-Montgomery)
-    form as ONE array (a single device->host transfer costs one tunnel
-    round-trip; two cost two).  scalars (S, Lr, n)."""
+    Returns (per-window totals (3, L, S*W) in PLAIN form, occ) as ONE
+    fetch.  The weighted bucket sums run on device (window-parallel short
+    chains, `window_totals`); only W points per set cross to the host —
+    32x fewer bytes than fetching the rowcol sums (round-3 profile: the
+    rowcol fetch was ~3 s of a 4 s warm prove through the ~12 MB/s device
+    tunnel).  The serial Horner finishes on the native host runtime."""
     S = scalars.shape[0]
     digits = _digits_multi(scalars, ctx, c)
     plan = window_plan(ctx, c, n_sets=S)
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
                                      plan=plan, pre_reduce=pre_reduce)
     rowsum, colsum = bucket_rowcol(buckets, ctx, c)
+    totals = window_totals(rowsum, colsum, ctx, c)       # (3, L, S*W)
     L = ctx.fp.L
-    flat = jnp.concatenate(
-        [rowsum.reshape(3, L, -1), colsum.reshape(3, L, -1)], axis=2)
+    m = totals.shape[2]
     # Montgomery -> plain for the host ABI (limbs must lead for the kernel)
-    m = flat.shape[2]
-    limbs_first = jnp.transpose(flat, (1, 0, 2)).reshape(L, 3 * m)
+    limbs_first = jnp.transpose(totals, (1, 0, 2)).reshape(L, 3 * m)
     plain = fj.mont_mul(limbs_first,
                         jnp.zeros_like(limbs_first).at[0].set(1), ctx.fp)
     return jnp.transpose(plain.reshape(L, 3, m), (1, 0, 2)), occ
@@ -510,33 +556,26 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
         key, (occupancy_guess(n_eff or n, ctx, c), 0))
     while True:
         with _timed("msm_kernel"):
-            flat_dev, occ_dev = _msm_multi_rowcol_jit(
+            totals_dev, occ_dev = _msm_multi_totals_jit(
                 points_dev, scalars_multi, ctx, c, rounds, pre)
         with _timed("msm_transfer"):
-            # ONE device->host fetch for (sums, occupancy): a separate
+            # ONE device->host fetch for (totals, occupancy): a separate
             # occupancy sync costs a full extra tunnel round trip per MSM
-            flat, occ = jax.device_get((flat_dev, occ_dev))
+            totals, occ = jax.device_get((totals_dev, occ_dev))
             occ = int(occ)
         if occ <= rounds:
             break
         rounds, pre = _escalate(occ, rounds, pre)
     _escalation_memo[key] = (rounds, pre)
-    g_bits = (c + 1) // 2
-    G, K = 1 << g_bits, 1 << (c - g_bits)
-    ng = S * W * G
-    rowsum, colsum = flat[:, :, :ng], flat[:, :, ng:]
 
     with _timed("msm_host_combine"):
         abi = _CurveABI(ctx.cv)
         lib = get_lib()
-        nwin = S * W
         out = np.zeros(S * 3 * abi.Lp, dtype=np.uint64)
-        lib.bp_combine_rowcol(
-            _ptr(abi.params),
-            _ptr(_limbs16_to_limbs64(rowsum, abi.Lp)),
-            _ptr(_limbs16_to_limbs64(colsum, abi.Lp)),
-            ctypes.c_uint64(nwin), ctypes.c_uint64(G), ctypes.c_uint64(K),
-            ctypes.c_uint64(c), ctypes.c_uint64(W), _ptr(out))
+        lib.bp_combine_totals(
+            _ptr(abi.params), _ptr(_limbs16_to_limbs64(totals, abi.Lp)),
+            ctypes.c_uint64(S * W), ctypes.c_uint64(c),
+            ctypes.c_uint64(W), _ptr(out))
         return abi.buf_to_points(out, S)
 
 

@@ -126,16 +126,27 @@ def _permute_kernel(state, sbox, params):
 def poseidon_permutation_batch(columns, params, sbox):
     """columns: list of `width` lists of Scalars (each length n) ->
     list of `width` lists of Scalars: n permutations in one batched kernel
-    (the device analog of n serial `Poseidon_permutation` calls)."""
+    (the device analog of n serial `Poseidon_permutation` calls).
+
+    The batch is padded to the next power of two (zero states) so one
+    compiled kernel serves ALL sizes in its bucket: callers like the SMT
+    bulk update present a different n per tree level, and per-shape
+    compiles through the device tunnel (~30 s each) would otherwise
+    dominate the whole workload."""
     pctx = _PoseidonDeviceCtx.get(params)
     fr = pctx["fr"]
     w = params.width
     n = len(columns[0])
-    flat = [s.v for col in columns for s in col]
-    state = fr.to_mont(flat).reshape(fr.L, w, n)
+    n_pad = max(8, 1 << (n - 1).bit_length())
+    flat = []
+    pad_tail = [0] * (n_pad - n)
+    for col in columns:
+        flat.extend(s.v for s in col)
+        flat.extend(pad_tail)
+    state = fr.to_mont(flat).reshape(fr.L, w, n_pad)
     out = _permute_kernel(state, sbox, params)
-    ints = fr.from_mont(out.reshape(fr.L, w * n))
-    return [[Scalar(v, params.cv) for v in ints[i * n:(i + 1) * n]]
+    ints = fr.from_mont(out.reshape(fr.L, w * n_pad))
+    return [[Scalar(v, params.cv) for v in ints[i * n_pad:i * n_pad + n]]
             for i in range(w)]
 
 

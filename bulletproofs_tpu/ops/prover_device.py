@@ -493,6 +493,97 @@ def device_prove_available(n_hint):
     return False
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _masked_sums_jit(points, masks, ctx):
+    """points (3, L, n) Montgomery, masks (S, n) in {0,1} -> (3, L, S):
+    per-mask sums of the selected points via a log2(n) tree of complete
+    adds.  ~n total adds, no sorts, no bucket grid — the fast path for
+    BIT-STRUCTURED witness vectors (range-proof a_L/a_O in {0,1}, a_R in
+    {0,-1}), whose Pippenger digits all collide in bucket 1 and forced 6
+    pre-reduction passes over (S*W, n) tables (round-3 prove profile:
+    phase-1 was half the warm prove)."""
+    S = masks.shape[0]
+    n = points.shape[2]
+    ident = ctx.identity.reshape(1, 3, -1, 1)
+    sel = jnp.where(masks[:, None, None, :] != 0, points[None], ident)
+    sel = jnp.transpose(sel, (1, 2, 0, 3))          # (3, L, S, n)
+    m = 1 << (n - 1).bit_length()
+    if m != n:
+        pad = jnp.broadcast_to(ctx.identity.reshape(3, -1, 1, 1),
+                               (3, points.shape[1], S, m - n))
+        sel = jnp.concatenate([sel, pad], axis=3)
+    while m > 1:
+        half = m // 2
+        sel = ej.ec_add(sel[..., :half], sel[..., half:], ctx)
+        m = half
+    return sel[..., 0]                              # (3, L, S)
+
+
+def _bit_structure(vals, r):
+    """Classify a host scalar vector: 'bits' (all in {0,1}), 'negbits'
+    (all in {0, r-1}), or None (general)."""
+    bits = negbits = True
+    for v in vals:
+        x = v.v if hasattr(v, "v") else int(v)
+        if x not in (0, 1):
+            bits = False
+        if x != 0 and x != r - 1:
+            negbits = False
+        if not bits and not negbits:
+            return None
+    return "bits" if bits else "negbits"
+
+
+def _phase_commitments(aL, aR, aO, blinds, s_L, s_R, pts, h, ctx, fr):
+    """A_I / A_O / S commitments for one phase (`prover.rs:336-366`).
+    pts: (3, L, 2n+1) device table [G_n | H_n | h].
+
+    Structured-witness fast path: when a_L/a_O are bit vectors and a_R is
+    a {0,-1} vector (every bit-decomposition gadget), A_I and A_O are
+    masked tree-sums (`_masked_sums_jit`, one device call) and only the
+    RANDOM S set runs the Pippenger — no pre-reduction passes, no
+    per-window tables.  General witness values fall back to the 3-set
+    hybrid MSM.  Same group elements (and transcript bytes) either way."""
+    import numpy as np
+    n = len(aL)
+    i_blind, o_blind, s_blind = blinds
+    r = ctx.cv.r
+    sL_cls = _bit_structure(aL, r)
+    sR_cls = _bit_structure(aR, r)
+    sO_cls = _bit_structure(aO, r)
+    structured = (sL_cls == "bits" and sO_cls == "bits"
+                  and sR_cls in ("bits", "negbits"))
+    if not structured:
+        zero_n = [Scalar.zero()] * n
+        sets = jnp.stack([
+            _plain_scalars(aL + aR + [i_blind], fr),
+            _plain_scalars(aO + zero_n + [o_blind], fr),
+            _plain_scalars(s_L + s_R + [s_blind], fr)], axis=0)
+        return msm_mod.msm_hybrid(pts, sets, ctx)
+
+    def bitmask(vals):
+        return [1 if (v.v if hasattr(v, "v") else int(v)) else 0
+                for v in vals]
+
+    zeros = [0] * n
+    masks = np.asarray([
+        bitmask(aL) + zeros + [0],          # A_I G-half
+        zeros + bitmask(aR) + [0],          # A_I H-half (negate if -1s)
+        bitmask(aO) + zeros + [0],          # A_O G-half
+    ], dtype=np.uint8)
+    sums = ej.from_device_points(_masked_sums_jit(pts, masks, ctx), ctx)
+    g_sum, h_sum, o_sum = sums
+    if sR_cls == "negbits":
+        h_sum = -h_sum
+    from .cpp_backend import CppBackend
+    bh, bo = CppBackend().scalar_mul_batch([h, h], [i_blind, o_blind])
+    A_I = g_sum + h_sum + bh
+    A_O = o_sum + bo
+    (S,) = msm_mod.msm_hybrid(
+        pts, _plain_scalars(s_L + s_R + [s_blind], fr)[None], ctx)
+    return A_I, A_O, S
+
+
 def prove_device(prover, G, H):
     """Device-path `Prover.prove` (`prover.rs:322-593`): bit-identical
     transcript/blinding schedule to `r1cs/prover.py:_prove`, with every O(n)
@@ -522,20 +613,18 @@ def prove_device(prover, G, H):
     s_L1 = random_scalars(n1, rng)
     s_R1 = random_scalars(n1, rng)
 
-    # ONE 3-set MSM over [G_n1 | H_n1 | h] for A_I1 / A_O1 / S1
-    # (`prover.rs:336-366`); A_O1's H-lane scalars are zero and cost nothing
-    # (digit-0 exclusion).
+    # A_I1 / A_O1 / S1 over [G_n1 | H_n1 | h] (`prover.rs:336-366`):
+    # structured-witness masked sums + one random-set MSM, or the 3-set
+    # hybrid MSM for general witnesses (_phase_commitments).
     with _timed("phase1_convert"):
         pts1 = jnp.concatenate(
             [_pts_cache.get(G[:n1], ctx), _pts_cache.get(H[:n1], ctx),
              ej.to_device_points([prover.h], ctx)], axis=2)
-        zero_n1 = [Scalar.zero()] * n1
-        sets1 = jnp.stack([
-            _plain_scalars(prover.a_L + prover.a_R + [i_blinding1], fr),
-            _plain_scalars(prover.a_O + zero_n1 + [o_blinding1], fr),
-            _plain_scalars(s_L1 + s_R1 + [s_blinding1], fr)], axis=0)
     with _timed("phase1_msm"):
-        A_I1, A_O1, S1 = msm_mod.msm_hybrid(pts1, sets1, ctx)
+        A_I1, A_O1, S1 = _phase_commitments(
+            prover.a_L, prover.a_R, prover.a_O,
+            (i_blinding1, o_blinding1, s_blinding1),
+            s_L1, s_R1, pts1, prover.h, ctx, fr)
 
     tr.commit_point(b"A_I1", A_I1)
     tr.commit_point(b"A_O1", A_O1)
@@ -564,13 +653,10 @@ def prove_device(prover, G, H):
         pts2 = jnp.concatenate(
             [_pts_cache.get(G[n1:n], ctx), _pts_cache.get(H[n1:n], ctx),
              ej.to_device_points([prover.h], ctx)], axis=2)
-        zero_n2 = [Scalar.zero()] * n2
-        sets2 = jnp.stack([
-            _plain_scalars(prover.a_L[n1:] + prover.a_R[n1:]
-                           + [i_blinding2], fr),
-            _plain_scalars(prover.a_O[n1:] + zero_n2 + [o_blinding2], fr),
-            _plain_scalars(s_L2 + s_R2 + [s_blinding2], fr)], axis=0)
-        A_I2, A_O2, S2 = msm_mod.msm_hybrid(pts2, sets2, ctx)
+        A_I2, A_O2, S2 = _phase_commitments(
+            prover.a_L[n1:], prover.a_R[n1:], prover.a_O[n1:],
+            (i_blinding2, o_blinding2, s_blinding2),
+            s_L2, s_R2, pts2, prover.h, ctx, fr)
     else:
         ident = type(prover.g).identity(cv)
         A_I2 = A_O2 = S2 = ident

@@ -514,14 +514,15 @@ BP_TGT static void pt_add8(const F52x8& f, u64 b3, const Pt8& P,
 
 static bool ifma_available() {
 #if defined(__x86_64__)
-    static int ok = -1;
-    if (ok < 0) {
-        const char* env = getenv("BP_NATIVE_IFMA");
-        if (env && env[0] == '0') ok = 0;
-        else ok = __builtin_cpu_supports("avx512ifma") &&
-                  __builtin_cpu_supports("avx512f") ? 1 : 0;
-    }
-    return ok == 1;
+    static int cpu_ok = -1;
+    if (cpu_ok < 0)
+        cpu_ok = __builtin_cpu_supports("avx512ifma") &&
+                 __builtin_cpu_supports("avx512f") ? 1 : 0;
+    // env re-read per call: lets one process race both engines (bench.py
+    // measures the portable path as the AMCL-class baseline denominator)
+    const char* env = getenv("BP_NATIVE_IFMA");
+    if (env && env[0] == '0') return false;
+    return cpu_ok == 1;
 #else
     return false;
 #endif
@@ -1127,6 +1128,28 @@ static void combine_rowcol_impl(const CurveT<F>& c, const u64* rowsum,
     }
 }
 
+// Horner window combine over PRECOMPUTED per-window totals (the device
+// now finishes the weighted bucket sums itself — window-parallel short
+// chains — so only W points per set cross the tunnel; ~32x fewer bytes
+// than the rowcol scheme).  nwin = nsets * wins_per_set.
+template <class F>
+static void combine_totals_impl(const CurveT<F>& c, const u64* totals,
+                                u64 nwin, u64 cbits, u64 wins_per_set,
+                                u64* out) {
+    int L = c.fp.L64;
+    u64 nsets = nwin / wins_per_set;
+    for (u64 s = 0; s < nsets; s++) {
+        Pt acc, t;
+        pt_identity(c, acc);
+        for (u64 wi = wins_per_set; wi-- > 0;) {
+            for (u64 d = 0; d < cbits; d++) pt_add(c, acc, acc, acc);
+            load_pt(c, totals + (s * wins_per_set + wi) * 3 * L, t);
+            pt_add(c, acc, t, acc);
+        }
+        store_pt(c, acc, out + s * 3 * L);
+    }
+}
+
 template <class F>
 static void add_batch_impl(const CurveT<F>& c, const u64* P, const u64* Q,
                            u64 n, u64* out) {
@@ -1192,6 +1215,17 @@ void bp_combine_rowcol(const u64* params, const u64* rowsum,
     } else {
         combine_rowcol_impl(c, rowsum, colsum, nwin, gsize, ksize,
                             cbits, wins_per_set, out);
+    }
+}
+
+void bp_combine_totals(const u64* params, const u64* totals, u64 nwin,
+                       u64 cbits, u64 wins_per_set, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+        combine_totals_impl(c52, totals, nwin, cbits, wins_per_set, out);
+    } else {
+        combine_totals_impl(c, totals, nwin, cbits, wins_per_set, out);
     }
 }
 

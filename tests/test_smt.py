@@ -151,3 +151,33 @@ def test_smt8_batch_update(rng):
     for idx, val in pairs:
         t_seq.update(idx, val, db_a)
     assert t_bat.batch_update(pairs, db_b) == t_seq.root
+
+
+def test_smt4_depth12_gadget(rng):
+    """Reference-scale depth-12 SMT-4 inclusion proof
+    (`/root/reference/src/r1cs/gadgets/sparse_merkle_tree_4_ary.rs:242-251`
+    uses depth 12 with 8192 generators).  Witness generation (tree build +
+    updates) drives the batched device Poseidon; the proof itself runs on
+    the native backend (VERDICT r2 task 9: must fit CI minutes)."""
+    params = PoseidonParams(5, 4, 4, 56)
+    depth = 12
+    db = InMemoryHashDb()
+    tree = VanillaSparseMerkleTree_4(params, depth, db)
+    pairs = [(Scalar(i * 129 + 1), Scalar(200 + i)) for i in range(24)]
+    tree.batch_update(pairs, db)
+
+    idx = Scalar(5 * 129 + 1)
+    proof_nodes = []
+    leaf = tree.get(idx, proof_nodes, db)
+    assert leaf == Scalar(205)
+
+    G = get_generators("G", 8192)
+    H = get_generators("H", 8192)
+    g = G1.from_msg_hash(b"g")
+    h = G1.from_msg_hash(b"h")
+    proof, comms = smt4.gen_proof_of_leaf_inclusion_4_ary_merkle_tree(
+        leaf, idx, None, proof_nodes, tree.root, depth, params,
+        SboxType.Quint, rng, b"SMT4d12", g, h, G, H)
+    smt4.verify_proof_of_leaf_inclusion_4_ary_merkle_tree(
+        tree.root, depth, params, SboxType.Quint, proof, comms, b"SMT4d12",
+        g, h, G, H)
