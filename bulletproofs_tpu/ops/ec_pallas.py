@@ -52,28 +52,102 @@ def _shim(ctx, mod):
                            mod_int=ctx.fp.mod_int)
 
 
-def _ec_add_2d(f, b3, X1, Y1, Z1, X2, Y2, Z2):
+def _ec_add_2d(f, b3, X1, Y1, Z1, X2, Y2, Z2, mul=mont_mul):
     """RCB16 complete add (a=0) on separate 2-D (L, T) coordinates —
-    identical math to ec_jax.ec_add, unstacked for Mosaic."""
-    t0 = mont_mul(X1, X2, f)
-    t1 = mont_mul(Y1, Y2, f)
-    t2 = mont_mul(Z1, Z2, f)
-    xy = sub_mod(sub_mod(mont_mul(add_mod(X1, Y1, f), add_mod(X2, Y2, f), f),
+    identical math to ec_jax.ec_add, unstacked for Mosaic.  `mul` selects
+    the in-kernel Montgomery multiply (CIOS default, MXU-REDC variant)."""
+    t0 = mul(X1, X2, f)
+    t1 = mul(Y1, Y2, f)
+    t2 = mul(Z1, Z2, f)
+    xy = sub_mod(sub_mod(mul(add_mod(X1, Y1, f), add_mod(X2, Y2, f), f),
                          t0, f), t1, f)
-    yz = sub_mod(sub_mod(mont_mul(add_mod(Y1, Z1, f), add_mod(Y2, Z2, f), f),
+    yz = sub_mod(sub_mod(mul(add_mod(Y1, Z1, f), add_mod(Y2, Z2, f), f),
                          t1, f), t2, f)
-    xz = sub_mod(sub_mod(mont_mul(add_mod(X1, Z1, f), add_mod(X2, Z2, f), f),
+    xz = sub_mod(sub_mod(mul(add_mod(X1, Z1, f), add_mod(X2, Z2, f), f),
                          t0, f), t2, f)
     b3_t2 = mul_small(t2, b3, f)
     m = sub_mod(t1, b3_t2, f)
     n = add_mod(t1, b3_t2, f)
-    X3 = sub_mod(mont_mul(xy, m, f),
-                 mul_small(mont_mul(yz, xz, f), b3, f), f)
-    Y3 = add_mod(mont_mul(n, m, f),
-                 mul_small(mont_mul(t0, xz, f), 3 * b3, f), f)
-    Z3 = add_mod(mont_mul(yz, n, f),
-                 mul_small(mont_mul(t0, xy, f), 3, f), f)
+    X3 = sub_mod(mul(xy, m, f),
+                 mul_small(mul(yz, xz, f), b3, f), f)
+    Y3 = add_mod(mul(n, m, f),
+                 mul_small(mul(t0, xz, f), 3 * b3, f), f)
+    Z3 = add_mod(mul(yz, n, f),
+                 mul_small(mul(t0, xy, f), 3, f), f)
     return X3, Y3, Z3
+
+
+# ---------------------------------------------------------------------------
+# In-kernel MXU-REDC Montgomery multiply
+#
+# Separated REDC with the fixed-operand halves as int8 Toeplitz matmuls
+# (field_jax.mont_mul_mxu), adapted for Mosaic: the a*b schoolbook half is
+# a fully UNROLLED concat-shift accumulation (no lax.scan), and the
+# Toeplitz tables/consts arrive as kernel refs (Mosaic can't capture
+# array constants).  Bit-exact with CIOS; raced by BP_EC_KERNEL=pallas_mxu
+# (scripts/bench_ec_add_variants.py round 3).
+# ---------------------------------------------------------------------------
+
+def _mul_columns_unrolled(a, b):
+    """(L, T) x (L, T) -> relaxed product columns (2L+1, T), scan-free."""
+    import numpy as _np
+    La, Lb = a.shape[0], b.shape[0]
+    T = a.shape[1]
+    ncols = La + Lb + 1
+    U32 = a.dtype
+    MASK = _np.uint32((1 << 16) - 1)
+    def shifted(x, k):
+        """x placed at row offset k within ncols rows (no 0-size blocks:
+        Mosaic rejects empty vector operands)."""
+        parts = []
+        if k:
+            parts.append(jnp.zeros((k, T), U32))
+        parts.append(x)
+        tail = ncols - k - x.shape[0]
+        if tail:
+            parts.append(jnp.zeros((tail, T), U32))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=0)
+
+    cols = jnp.zeros((ncols, T), U32)
+    for i in range(La):
+        p = a[i] * b                                 # (Lb, T) exact
+        cols = cols + shifted(p & MASK, i) + shifted(p >> 16, i + 1)
+    return cols
+
+
+def _mxu_mont_mul_factory(fctx, tm, tn):
+    """Build the in-kernel mul(a, b, f) closure over traced Toeplitz refs
+    (tm = (Ts_m, const_m) for (T_lo * N') mod R, tn = (Ts_n, const_n) for
+    m * N)."""
+    from .field_jax import (MASK, _carry_norm, _carry_sub_norm,
+                            _u8cols_to_u16cols, _u16_to_u8)
+
+    def _apply(Ts, const, x8):
+        xi = x8.astype(jnp.int32)
+        xs = (xi - 128).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            Ts, xs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y + const + 128 * jnp.sum(xi - 128, axis=0, keepdims=True)
+        return y.astype(jnp.uint32)
+
+    def mul(a, b, f):
+        L = f.L
+        t = _mul_columns_unrolled(a, b)
+        t_norm = _carry_norm(t, 2 * L)
+        x8 = _u16_to_u8(t_norm[:L])
+        m_cols = _apply(*tm, x8)                     # byte-base relaxed
+        # canonical 16-bit m, then back to bytes for the second matmul
+        m16 = _carry_norm(_u8cols_to_u16cols(m_cols), L + 1)[:L]
+        m8 = _u16_to_u8(m16)
+        mn_cols = _apply(*tn, m8)
+        mn16 = _u8cols_to_u16cols(mn_cols)
+        total = mn16 + t_norm
+        summed = _carry_norm(total, 2 * L + 1)
+        return _carry_sub_norm(summed[L:], f.mod, L + 1)[:L]
+
+    return mul
 
 
 def _add_kernel(ctx):
@@ -86,6 +160,70 @@ def _add_kernel(ctx):
         oy[:] = Y3
         oz[:] = Z3
     return kernel
+
+
+def _round_kernel_mxu(ctx, L):
+    """MXU-REDC variant of the fused bucket-round kernel: same structure,
+    Montgomery multiplies route their fixed-operand REDC halves through
+    int8 Toeplitz matmuls on the MXU."""
+    def kernel(xb, yb, zb, rows, found, mod_ref, one_ref,
+               tsm, cm, tsn, cn, ox, oy, oz):
+        with _full_unroll():
+            f = _shim(ctx, mod_ref[:])
+            mul = _mxu_mont_mul_factory(f, (tsm[:], cm[:]),
+                                        (tsn[:], cn[:]))
+            r = rows[:]
+            dx = r[:, 0:L].T
+            dy = r[:, L:2 * L].T
+            dz = r[:, 2 * L:3 * L].T
+            ok = found[:]
+            one = one_ref[:]
+            dx = jnp.where(ok != 0, dx, 0)
+            dy = jnp.where(ok != 0, dy, one)
+            dz = jnp.where(ok != 0, dz, 0)
+            X3, Y3, Z3 = _ec_add_2d(f, ctx.b3, xb[:], yb[:], zb[:],
+                                    dx, dy, dz, mul=mul)
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3,))
+def bucket_round_add_pallas_mxu(buckets, rows, found, ctx):
+    """MXU-REDC fused round (see bucket_round_add_pallas)."""
+    from .field_jax import _mxu_tables
+    L = buckets.shape[1]
+    S = buckets.shape[2]
+    tile = _pick_tile(S)
+    assert tile is not None
+    grid = (S // tile,)
+    cspec = pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((tile, 3 * L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    (tsm, cm), (tsn, cn) = _mxu_tables(ctx.fp)
+    t_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+               for t in (tsm, cm, tsn, cn)]
+    mod = jnp.asarray(ctx.fp.mod)
+    one_m = jnp.asarray(ctx.fp.one_m).reshape(L, 1)
+    shape = jax.ShapeDtypeStruct((L, S), buckets.dtype)
+    X3, Y3, Z3 = pl.pallas_call(
+        _round_kernel_mxu(ctx, L),
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[cspec, cspec, cspec, rspec, fspec, mspec, mspec]
+        + t_specs,
+        out_specs=(cspec, cspec, cspec),
+    )(buckets[0], buckets[1], buckets[2], rows,
+      found.astype(jnp.int32).reshape(1, S), mod, one_m,
+      jnp.asarray(tsm), jnp.asarray(cm), jnp.asarray(tsn),
+      jnp.asarray(cn))
+    return jnp.stack([X3, Y3, Z3], axis=0)
 
 
 def _round_kernel(ctx, L):

@@ -1041,6 +1041,82 @@ static void msm_ifma8(const CurveT<Field52>& c, const u64* points,
 
 #endif  // __x86_64__
 
+template <class F>
+static void fold_impl(const CurveT<F>& c, const u64* PL, const u64* PR,
+                      const u64* s1, const u64* s2, u64 n, u64* out);
+
+#if defined(__x86_64__)
+
+// 8 independent Straus ladders at once (a = 0 curves): lanes share the
+// doubling step (pt_add8 acc,acc); each lane's per-bit operand is selected
+// from its {identity, A, B, A+B} table and gathered into vertical form.
+// Complete formulas make the sel==0 identity-add branch-free.
+BP_TGT
+static void fold_impl8(const CurveT<Field52>& c, const u64* PL,
+                       const u64* PR, const u64* s1, const u64* s2,
+                       u64 n, u64* out) {
+    const int L = c.fp.L64, Lr = c.Lr;
+    const int K = c.fp.L;
+    F52x8 fx; fx.init(c.fp);
+    u64 i0 = 0;
+    for (; i0 + 8 <= n; i0 += 8) {
+        Pt tab[8][4];                 // [id, A, B, A+B] per lane
+        int bits = 0;
+        for (int l = 0; l < 8; l++) {
+            pt_identity(c, tab[l][0]);
+            load_pt(c, PL + (i0 + l) * 3 * L, tab[l][1]);
+            load_pt(c, PR + (i0 + l) * 3 * L, tab[l][2]);
+            pt_add(c, tab[l][1], tab[l][2], tab[l][3]);
+            int b1 = scalar_bits(s1 + (i0 + l) * Lr, Lr);
+            int b2 = scalar_bits(s2 + (i0 + l) * Lr, Lr);
+            if (b1 > bits) bits = b1;
+            if (b2 > bits) bits = b2;
+        }
+        Pt8 ACC;
+        {
+            Pt id8[8];
+            const u64* px[8]; const u64* py[8]; const u64* pz[8];
+            for (int l = 0; l < 8; l++) {
+                pt_identity(c, id8[l]);
+                px[l] = id8[l].X; py[l] = id8[l].Y; pz[l] = id8[l].Z;
+            }
+            gather8(px, ACC.X, K); gather8(py, ACC.Y, K);
+            gather8(pz, ACC.Z, K);
+        }
+        for (int bi = bits - 1; bi >= 0; bi--) {
+            pt_add8(fx, c.b3, ACC, ACC, ACC);          // shared doubling
+            const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
+            for (int l = 0; l < 8; l++) {
+                int sel = scalar_bit(s1 + (i0 + l) * Lr, Lr, bi)
+                        | (scalar_bit(s2 + (i0 + l) * Lr, Lr, bi) << 1);
+                qx[l] = tab[l][sel].X;
+                qy[l] = tab[l][sel].Y;
+                qz[l] = tab[l][sel].Z;
+            }
+            Pt8 Q;
+            gather8(qx, Q.X, K); gather8(qy, Q.Y, K); gather8(qz, Q.Z, K);
+            pt_add8(fx, c.b3, ACC, Q, ACC);
+        }
+        {
+            Pt res[8];
+            u64* rx[8]; u64* ry[8]; u64* rz[8];
+            for (int l = 0; l < 8; l++) {
+                memset(&res[l], 0, sizeof(Pt));
+                rx[l] = res[l].X; ry[l] = res[l].Y; rz[l] = res[l].Z;
+            }
+            scatter8(ACC.X, rx, K); scatter8(ACC.Y, ry, K);
+            scatter8(ACC.Z, rz, K);
+            for (int l = 0; l < 8; l++)
+                store_pt(c, res[l], out + (i0 + l) * 3 * L);
+        }
+    }
+    if (i0 < n)                        // remainder lanes, 1-way
+        fold_impl(c, PL + i0 * 3 * L, PR + i0 * 3 * L, s1 + i0 * Lr,
+                  s2 + i0 * Lr, n - i0, out + i0 * 3 * L);
+}
+
+#endif  // __x86_64__
+
 // out[i] = s1[i]*PL[i] + s2[i]*PR[i]  (Straus shared-doubling ladder)
 template <class F>
 static void fold_impl(const CurveT<F>& c, const u64* PL, const u64* PR,
@@ -1187,6 +1263,12 @@ void bp_fold(const u64* params, const u64* PL, const u64* PR,
     CurveT<Field> c = load_curve(params);
     if (ifma_available()) {
         CurveT<Field52> c52 = to52(c);
+#if defined(__x86_64__)
+        if (!c.a_nonzero) {
+            fold_impl8(c52, PL, PR, s1, s2, n, out);
+            return;
+        }
+#endif
         fold_impl(c52, PL, PR, s1, s2, n, out);
     } else {
         fold_impl(c, PL, PR, s1, s2, n, out);
