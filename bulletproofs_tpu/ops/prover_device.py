@@ -395,7 +395,8 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
     while n_j != 1:
         with _timed("ipa_scal"):
             scal2 = _ipa_round_scalars(A, B, rG, rH, n_j, fr)
-        c = window or msm_mod.pick_window(2 * n + 2)
+        c = window or int(os.environ.get("BP_IPA_WINDOW", "0")) \
+            or msm_mod.pick_window(2 * n + 2)
         with _timed("ipa_msm"):
             # each set has <= n+1 non-zero scalars (the masked half is 0)
             L, R = msm_mod.msm_hybrid(pts_dev, scal2, ctx, c, n_eff=n + 1)
@@ -702,11 +703,13 @@ def prove_device(prover, G, H):
     t_6_blinding = Scalar.random(rng)
 
     g_, h_ = prover.g, prover.h
-    T_1 = commit_to_field_element(g_, h_, t1s, t_1_blinding)
-    T_3 = commit_to_field_element(g_, h_, t3s, t_3_blinding)
-    T_4 = commit_to_field_element(g_, h_, t4s, t_4_blinding)
-    T_5 = commit_to_field_element(g_, h_, t5s, t_5_blinding)
-    T_6 = commit_to_field_element(g_, h_, t6s, t_6_blinding)
+    # 5 Pedersen commits g^t h^r in ONE native batched fold (the Python
+    # double-and-add ladders cost ~80 ms here; the x8 IFMA fold ~3 ms)
+    from .cpp_backend import CppBackend
+    T_1, T_3, T_4, T_5, T_6 = CppBackend().fold_points(
+        [g_] * 5, [h_] * 5, [t1s, t3s, t4s, t5s, t6s],
+        [t_1_blinding, t_3_blinding, t_4_blinding, t_5_blinding,
+         t_6_blinding])
 
     tr.commit_point(b"T_1", T_1)
     tr.commit_point(b"T_3", T_3)

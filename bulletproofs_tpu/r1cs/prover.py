@@ -48,11 +48,18 @@ class Prover(ConstraintSystem):
 
     # ---- commitments ----
     def commit(self, v, v_blinding):
-        """Pedersen-commit a high-level variable (`prover.rs:119-129`)."""
+        """Pedersen-commit a high-level variable (`prover.rs:119-129`).
+        Routed through the backend's fold (g*v + h*r): the native x8
+        engine does this in ~0.6 ms vs ~16 ms of Python ladders — m
+        commitments precede every aggregated proof."""
         if isinstance(v, int):
             v = Scalar(v)
         i = len(self.v)
-        V = commit_to_field_element(self.g, self.h, v, v_blinding)
+        be = get_backend(2)
+        if hasattr(be, "fold_points"):
+            (V,) = be.fold_points([self.g], [self.h], [v], [v_blinding])
+        else:
+            V = commit_to_field_element(self.g, self.h, v, v_blinding)
         self.v.append(v)
         self.v_blinding.append(v_blinding)
         self.transcript.commit_point(b"V", V)

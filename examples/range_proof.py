@@ -4,8 +4,12 @@ Run: python examples/range_proof.py [--curve bls381|bn254|secp256k1]
 """
 
 import argparse
+import os
 import random
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import bulletproofs_tpu as bp
 from bulletproofs_tpu.models.bound_check import (
