@@ -48,6 +48,14 @@ def main():
     from bulletproofs_tpu.ops.ec_host import G1
 
     extras = {}
+
+    def mark(section):
+        # progress to stderr (stdout stays the single JSON line): the axon
+        # tunnel occasionally hangs a dispatch forever — the marker names
+        # the section a stuck run died in
+        print(f"[bench {time.strftime('%H:%M:%S')}] {section}",
+              file=sys.stderr, flush=True)
+
     rnd = random.Random(0xBE7C)
     with using_curve(BLS381):
         ctx = ej.CurveCtx(BLS381)
@@ -272,9 +280,13 @@ def main():
             n_upd = 4096
             pairs = [(Scalar(rnds.randrange(4 ** depth12)),
                       Scalar.random(rnds)) for _ in range(n_upd)]
-            tree.batch_update(pairs[:256], dbs)     # warm compile
-            t0 = time.time()
+            pairs2 = [(Scalar(rnds.randrange(4 ** depth12)),
+                       Scalar.random(rnds)) for _ in range(n_upd)]
+            # warm with a full-size batch: every per-level pow2 Poseidon
+            # shape compiles once (tunnel compiles must not be timed)
             tree.batch_update(pairs, dbs)
+            t0 = time.time()
+            tree.batch_update(pairs2, dbs)
             extras["smt4_updates_per_s"] = round(n_upd / (time.time() - t0))
         except Exception as e:                       # pragma: no cover
             extras["smt4_error"] = repr(e)[:200]

@@ -45,11 +45,41 @@ def get_lib():
                 os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
         _lib = ctypes.CDLL(_SO)
-        for fn in ("bp_msm", "bp_fold", "bp_scalar_mul_batch",
+        for fn in ("bp_msm", "bp_msm2", "bp_fold", "bp_scalar_mul_batch",
                    "bp_add_batch", "bp_combine_rowcol",
                    "bp_combine_totals"):
             getattr(_lib, fn).restype = None
     return _lib
+
+
+def _sqrt_mod(a, p):
+    """Tonelli-Shanks square root mod an odd prime (None if non-residue)."""
+    a %= p
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, rr = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        rr = rr * b % p
+        c = b * b % p
+        t = t * c % p
+        m = i
+    return rr
 
 
 def _limbs64(v: int, L: int):
@@ -107,6 +137,59 @@ class _CurveABI:
             out.append(G1(X, Y, Z, self.cv))
         return out
 
+    def glv_block(self):
+        """GLV parameter block for bp_msm2 (all-zero when inapplicable).
+
+        Layout (18 u64): [enabled, lam[4], mu[5], beta_plain[8]].  lam is the
+        eigenvalue of the j=0 endomorphism psi(x, y) = (beta*x, y) — a root
+        of x^2 + x + 1 mod r — and the native side splits every scalar as
+        k = (k mod lam) + lam*(k div lam) via the Barrett reciprocal
+        mu = floor(2^256/lam).  That division split only balances when
+        lam ~ sqrt(r): true for bls381 (lam = z^2 - 1, 128 bits) and bn254;
+        secp256k1's roots are full-width, so it (and a != 0 ed25519) keep
+        GLV disabled and still get the signed-digit buckets.  beta is
+        validated here against the exact host backend (psi(P) == lam*P)
+        before it is ever trusted — a wrong constant cannot ship a wrong
+        proof, the selftest throws first.  Accelerates the same var-time
+        MSM role as /root/reference/src/ipp.rs:91,104 (amcl has neither
+        endomorphism nor signed windows).
+        """
+        if hasattr(self, "_glv"):
+            return self._glv
+        blk = np.zeros(18, dtype=np.uint64)
+        self._glv = blk
+        cv = self.cv
+        if cv.a != 0 or os.environ.get("BP_CPP_GLV", "1") == "0":
+            return blk
+        r, p = cv.r, cv.p
+        s = _sqrt_mod(r - 3, r)
+        if s is None:
+            return blk
+        inv2 = pow(2, -1, r)
+        lam = min(((s - 1) * inv2) % r, ((-s - 1) * inv2) % r)
+        if lam == 0 or lam.bit_length() > r.bit_length() // 2 + 4:
+            return blk
+        sp = _sqrt_mod(p - 3, p)
+        if sp is None:
+            return blk
+        inv2p = pow(2, -1, p)
+        P = G1.from_msg_hash(b"bp-glv-selftest", cv)
+        zi = pow(P.Z, -1, p)
+        x, y = P.X * zi % p, P.Y * zi % p
+        want = P * lam
+        beta = None
+        for cand in (((sp - 1) * inv2p) % p, ((-sp - 1) * inv2p) % p):
+            if G1(cand * x % p, y, 1, cv) == want:
+                beta = cand
+                break
+        if beta is None:
+            return blk
+        blk[0] = 1
+        blk[1:5] = _limbs64(lam, 4)
+        blk[5:10] = _limbs64(2 ** 256 // lam, 5)
+        blk[10:18] = _limbs64(beta, MAXL)
+        return blk
+
     def scalars_to_buf(self, scalars):
         nb = self.Lr * 8
         r = self.cv.r
@@ -130,8 +213,25 @@ class CppBackend:
         return _CurveABI(points[0].cv if points else curve())
 
     def msm(self, points, scalars):
+        """Native MSM: projective points straight through to bp_msm2, which
+        batch-normalizes, signed-digit-recodes, and (bls381/bn254) GLV-splits
+        in C++ — the round-2 Python-side big-int normalization was ~45% of
+        wall time at n=2^16.  BP_CPP_LEGACY_MSM=1 keeps the old path for A/B.
+        """
         if not points:
             return G1.identity()
+        if os.environ.get("BP_CPP_LEGACY_MSM") == "1":
+            return self._msm_legacy(points, scalars)
+        abi = self._abi(points)
+        lib = get_lib()
+        out = np.zeros(3 * abi.Lp, dtype=np.uint64)
+        lib.bp_msm2(_ptr(abi.params), _ptr(abi.glv_block()),
+                    _ptr(abi.points_to_buf(points)),
+                    _ptr(abi.scalars_to_buf(scalars)),
+                    ctypes.c_uint64(len(points)), _ptr(out))
+        return abi.buf_to_points(out, 1)[0]
+
+    def _msm_legacy(self, points, scalars):
         abi = self._abi(points)
         lib = get_lib()
         p = abi.cv.p

@@ -1239,6 +1239,407 @@ static void add_batch_impl(const CurveT<F>& c, const u64* P, const u64* Q,
     }
 }
 
+// ===========================================================================
+// bp_msm2: projective-input MSM.
+//
+// Replaces the Python-side big-int batch normalization (cpp_backend.py round
+// 1/2) with an in-native Montgomery batch inversion, and upgrades the IFMA
+// bucket pass to SIGNED digits (half the buckets per window — negating an
+// affine point is one field subtraction, so digit -d adds (X, p-Y) to bucket
+// d) plus optional GLV (k = k1 + lambda*k2 with psi(x,y) = (beta*x, y); the
+// lambda/mu/beta constants are computed and validated against the host EC
+// backend in cpp_backend.py and passed through `glv_params`).  This mirrors
+// the variable-time MSM role of the reference's
+// G1Vector::inner_product_var_time (/root/reference/src/ipp.rs:91,104;
+// verifier.rs:431-456) with the standard endomorphism+signed-window
+// accelerations the AMCL stack lacks.  The result is the same group element
+// bit-for-bit (affine serialization) — only the addition schedule changes.
+// ===========================================================================
+
+// digit read that tolerates windows beyond the scalar's limbs (the signed
+// recode scans one carry window past maxbits)
+static inline u64 scalar_digit_safe(const u64* k, int Lr, int w, int cbits) {
+    long bit = (long)w * cbits;
+    if (bit >= (long)Lr * 64) return 0;
+    int word = (int)(bit >> 6), sh = (int)(bit & 63);
+    u64 v = k[word] >> sh;
+    if (sh + cbits > 64 && word + 1 < Lr) v |= k[word + 1] << (64 - sh);
+    return v & (((u64)1 << cbits) - 1);
+}
+
+static inline int limb_bits(const Field&)   { return 64; }
+static inline int limb_bits(const Field52&) { return 52; }
+
+// out = a^(p-2) mod p (Montgomery in/out) — the batch-inversion finisher.
+// One exponentiation per MSM call: ~2*log p mont_muls, noise next to the
+// bucket pass.
+template <class F>
+static void f_inv(const F& f, const u64* a, u64* out) {
+    const int lb = limb_bits(f);
+    const u64 mask = (lb == 64) ? ~(u64)0 : (((u64)1 << lb) - 1);
+    u64 e[MAXL] = {0};
+    u64 borrow = 2;                       // e = p - 2 in the engine's base
+    for (int j = 0; j < f.L; j++) {
+        u64 m = f.mod[j];
+        e[j] = (m - borrow) & mask;
+        borrow = (m < borrow) ? 1 : 0;
+    }
+    int bits = f.L * lb;
+    while (bits > 0 && !((e[(bits - 1) / lb] >> ((bits - 1) % lb)) & 1))
+        bits--;
+    u64 acc[MAXL];
+    memcpy(acc, a, sizeof(acc));          // top bit of p-2 is set (p odd > 3)
+    for (int b = bits - 2; b >= 0; b--) {
+        f.mont_mul(acc, acc, acc);
+        if ((e[b / lb] >> (b % lb)) & 1) f.mont_mul(acc, a, acc);
+    }
+    memcpy(out, acc, MAXL * sizeof(u64));
+}
+
+// Projective ABI points -> Montgomery-form affine coords via one batched
+// inversion (Montgomery's trick).  Identity points (Z = 0) get isid[i] = 1
+// and zeroed coords; the digit pass never schedules them.
+template <class F>
+static void normalize_points(const CurveT<F>& c, const u64* pts_proj, u64 n,
+                             u64* AX, u64* AY, std::vector<char>& isid) {
+    const F& f = c.fp;
+    const int L = f.L64;
+    isid.assign(n, 0);
+    std::vector<u64> Xm(n * MAXL), Ym(n * MAXL), Z(n * MAXL),
+        pre((n + 1) * MAXL);
+    memcpy(&pre[0], c.one_m, MAXL * sizeof(u64));
+    for (u64 i = 0; i < n; i++) {
+        f.abi_to_mont(pts_proj + i * 3 * L, &Xm[i * MAXL]);
+        f.abi_to_mont(pts_proj + i * 3 * L + L, &Ym[i * MAXL]);
+        f.abi_to_mont(pts_proj + i * 3 * L + 2 * L, &Z[i * MAXL]);
+        if (f.is_zero(&Z[i * MAXL])) {
+            isid[i] = 1;
+            memcpy(&Z[i * MAXL], c.one_m, MAXL * sizeof(u64));
+        }
+        f.mont_mul(&pre[i * MAXL], &Z[i * MAXL], &pre[(i + 1) * MAXL]);
+    }
+    u64 inv_all[MAXL];
+    f_inv(f, &pre[n * MAXL], inv_all);
+    for (u64 i = n; i-- > 0;) {
+        u64 zinv[MAXL];
+        f.mont_mul(&pre[i * MAXL], inv_all, zinv);
+        f.mont_mul(inv_all, &Z[i * MAXL], inv_all);
+        if (isid[i]) {
+            memset(AX + i * MAXL, 0, MAXL * sizeof(u64));
+            memset(AY + i * MAXL, 0, MAXL * sizeof(u64));
+            continue;
+        }
+        f.mont_mul(&Xm[i * MAXL], zinv, AX + i * MAXL);
+        f.mont_mul(&Ym[i * MAXL], zinv, AY + i * MAXL);
+    }
+}
+
+// ---- GLV context + 4-limb multiword helpers (u128 schoolbook) ----
+
+struct GlvCtx {
+    bool enabled;
+    u64 lam[4];           // endomorphism eigenvalue (~sqrt(r) for bls381)
+    u64 mu[5];            // floor(2^256 / lam), Barrett reciprocal
+    u64 beta_m[MAXL];     // cube root of unity in Fp, Montgomery form
+};
+
+static inline bool mw_gte4(const u64* a, const u64* b) {
+    for (int j = 3; j >= 0; j--) {
+        if (a[j] != b[j]) return a[j] > b[j];
+    }
+    return true;
+}
+
+static inline void mw_sub4(u64* a, const u64* b) {        // a -= b
+    u128 borrow = 0;
+    for (int j = 0; j < 4; j++) {
+        u128 s = (u128)a[j] - b[j] - borrow;
+        a[j] = (u64)s;
+        borrow = (s >> 64) & 1;
+    }
+}
+
+// k (Lr<=4 limbs) -> k1 = k mod lam, k2 = k div lam via one Barrett
+// multiply + <=3 corrections (mu = floor(2^256/lam), k < 2^256 so the
+// quotient estimate floor(k*mu >> 256) is within 3 of the true quotient).
+static void glv_split(const GlvCtx& g, const u64* k, int Lr,
+                      u64* k1, u64* k2) {
+    u64 kk[4] = {0, 0, 0, 0};
+    for (int j = 0; j < Lr && j < 4; j++) kk[j] = k[j];
+    u64 prod[9] = {0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 5; j++) {
+            u128 s = (u128)kk[i] * g.mu[j] + prod[i + j] + carry;
+            prod[i + j] = (u64)s;
+            carry = s >> 64;
+        }
+        u64 c2 = (u64)carry;
+        for (int idx = i + 5; c2 && idx < 9; idx++) {
+            u128 s = (u128)prod[idx] + c2;
+            prod[idx] = (u64)s;
+            c2 = (u64)(s >> 64);
+        }
+    }
+    u64 q[4] = {prod[4], prod[5], prod[6], prod[7]};      // >> 256
+    u64 ql[4] = {0};                 // q*lam, exact in 4 limbs (<= k)
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; i + j < 4; j++) {
+            u128 s = (u128)q[i] * g.lam[j] + ql[i + j] + carry;
+            ql[i + j] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+    u64 r0[4] = {kk[0], kk[1], kk[2], kk[3]};
+    mw_sub4(r0, ql);
+    for (int guard = 0; guard < 4 && mw_gte4(r0, g.lam); guard++) {
+        mw_sub4(r0, g.lam);
+        for (int j = 0; j < 4; j++) { if (++q[j]) break; }
+    }
+    memcpy(k1, r0, 4 * sizeof(u64));
+    memcpy(k2, q, 4 * sizeof(u64));
+}
+
+// signed base-2^c recode: digits in [-(2^(c-1)-1), 2^(c-1)], written
+// column-major (dst[w*stride + i]) so the per-window bucket pass streams
+// them contiguously.  nwin must cover maxbits+1 (the final carry).
+static void recode_signed(const u64* k, int Lr, int cbits, int nwin,
+                          int16_t* dst, u64 stride, u64 i) {
+    const int half = 1 << (cbits - 1);
+    int carry = 0;
+    for (int w = 0; w < nwin; w++) {
+        int t = (int)scalar_digit_safe(k, Lr, w, cbits) + carry;
+        int d;
+        if (t > half) { d = t - (1 << cbits); carry = 1; }
+        else          { d = t; carry = 0; }
+        dst[(u64)w * stride + i] = (int16_t)d;
+    }
+}
+
+#if defined(__x86_64__)
+
+// Montgomery-form affine point with its negation's Y cached (192 bytes =
+// 3 cache lines; digit sign selects Y vs nY at schedule time).
+struct AffM { u64 X[MAXL], Y[MAXL], nY[MAXL]; };
+
+// Signed-digit 8-way IFMA Pippenger core: buckets 1..2^(c-1) per window
+// (index = |digit|, negative digits schedule (X, nY)); phase B runs the
+// weighted bucket sums over a window count padded to a multiple of 8 so
+// every serial chain is 8-wide.
+BP_TGT
+static void msm_ifma8_signed(const CurveT<Field52>& c, const AffM* pts,
+                             const int16_t* dig, u64 n_eff, int nwin,
+                             int cbits, u64* out) {
+    F52x8 fx; fx.init(c.fp);
+    const int K = c.fp.L;
+    const u64 H = (u64)1 << (cbits - 1);
+    const int nwin8 = (nwin + 7) & ~7;
+    std::vector<Pt> buckets((u64)nwin8 * (H + 1));
+    for (auto& b : buckets) pt_identity(c, b);
+
+    Pt* qb[8]; const u64* qxp[8]; const u64* qyp[8];
+    int pend = 0;
+    auto flush = [&]() {
+        if (pend == 8) {
+            const u64* bx[8]; const u64* by[8]; const u64* bz[8];
+            u64* ox[8]; u64* oy[8]; u64* oz[8];
+            for (int l = 0; l < 8; l++) {
+                bx[l] = qb[l]->X; by[l] = qb[l]->Y; bz[l] = qb[l]->Z;
+                ox[l] = qb[l]->X; oy[l] = qb[l]->Y; oz[l] = qb[l]->Z;
+            }
+            Pt8 P8; Vec8 QX, QY;
+            gather8(bx, P8.X, K); gather8(by, P8.Y, K);
+            gather8(bz, P8.Z, K);
+            gather8(qxp, QX, K); gather8(qyp, QY, K);
+            pt_add_mixed8(fx, c.b3, P8, QX, QY, P8);
+            scatter8(P8.X, ox, K); scatter8(P8.Y, oy, K);
+            scatter8(P8.Z, oz, K);
+        } else {
+            for (int l = 0; l < pend; l++) {
+                PtAff q;
+                memcpy(q.X, qxp[l], MAXL * sizeof(u64));
+                memcpy(q.Y, qyp[l], MAXL * sizeof(u64));
+                pt_add_mixed(c, *qb[l], q, *qb[l]);
+            }
+        }
+        pend = 0;
+    };
+
+    const u64 PF = 24;
+    for (int w = 0; w < nwin; w++) {
+        Pt* bw = buckets.data() + (u64)w * (H + 1);
+        const int16_t* dw = dig + (u64)w * n_eff;
+        for (u64 i = 0; i < n_eff; i++) {
+            if (i + PF < n_eff) {
+                int dpf = dw[i + PF];
+                u64 apf = (u64)(dpf < 0 ? -dpf : dpf);
+                __builtin_prefetch((const char*)(bw + apf), 1);
+                __builtin_prefetch((const char*)(bw + apf) + 64, 1);
+                __builtin_prefetch((const char*)(bw + apf) + 128, 1);
+                __builtin_prefetch((const char*)&pts[i + PF], 0);
+            }
+            const int d = dw[i];
+            if (!d) continue;
+            Pt* slot = bw + (u64)(d < 0 ? -d : d);
+            bool conflict = false;
+            for (int l = 0; l < pend; l++)
+                if (qb[l] == slot) { conflict = true; break; }
+            if (conflict || pend == 8) flush();
+            qb[pend] = slot;
+            qxp[pend] = pts[i].X;
+            qyp[pend] = d > 0 ? pts[i].Y : pts[i].nY;
+            pend++;
+        }
+        flush();
+    }
+
+    // phase B: weighted bucket sums, 8 (padded) windows side by side
+    std::vector<Pt> totals(nwin8);
+    for (int w0 = 0; w0 < nwin8; w0 += 8) {
+        Pt run[8];
+        for (int l = 0; l < 8; l++) pt_identity(c, run[l]);
+        Pt8 RUN, SUB;
+        {
+            const u64* rx[8]; const u64* ry[8]; const u64* rz[8];
+            for (int l = 0; l < 8; l++) {
+                rx[l] = run[l].X; ry[l] = run[l].Y; rz[l] = run[l].Z;
+            }
+            gather8(rx, RUN.X, K); gather8(ry, RUN.Y, K);
+            gather8(rz, RUN.Z, K);
+            SUB = RUN;
+        }
+        for (u64 d = H; d >= 1; d--) {
+            const u64* bx[8]; const u64* by[8]; const u64* bz[8];
+            for (int l = 0; l < 8; l++) {
+                const Pt& b = buckets[(u64)(w0 + l) * (H + 1) + d];
+                bx[l] = b.X; by[l] = b.Y; bz[l] = b.Z;
+            }
+            Pt8 B8;
+            gather8(bx, B8.X, K); gather8(by, B8.Y, K);
+            gather8(bz, B8.Z, K);
+            pt_add8(fx, c.b3, RUN, B8, RUN);
+            pt_add8(fx, c.b3, SUB, RUN, SUB);
+        }
+        {
+            u64* sx[8]; u64* sy[8]; u64* sz[8];
+            for (int l = 0; l < 8; l++) {
+                sx[l] = totals[w0 + l].X; sy[l] = totals[w0 + l].Y;
+                sz[l] = totals[w0 + l].Z;
+            }
+            scatter8(SUB.X, sx, K); scatter8(SUB.Y, sy, K);
+            scatter8(SUB.Z, sz, K);
+        }
+    }
+
+    Pt total; pt_identity(c, total);
+    for (int w = nwin - 1; w >= 0; w--) {
+        for (int d2 = 0; d2 < cbits; d2++) pt_add(c, total, total, total);
+        pt_add(c, total, totals[w], total);
+    }
+    store_pt(c, total, out);
+}
+
+// IFMA driver: normalize, build (X, Y, p-Y) [+ GLV psi half], split +
+// recode scalars, run the signed core.
+BP_TGT
+static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
+                      const u64* pts_proj, const u64* scalars, u64 n,
+                      u64* out) {
+    const int Lr = c.Lr;
+    std::vector<char> isid;
+    std::vector<u64> AX(n * MAXL), AY(n * MAXL);
+    normalize_points(c, pts_proj, n, AX.data(), AY.data(), isid);
+
+    const bool glv = g.enabled;
+    const u64 n_eff = glv ? 2 * n : n;
+    std::vector<AffM> pts(n_eff);
+    u64 zero[MAXL] = {0};
+    for (u64 i = 0; i < n; i++) {
+        memcpy(pts[i].X, &AX[i * MAXL], MAXL * sizeof(u64));
+        memcpy(pts[i].Y, &AY[i * MAXL], MAXL * sizeof(u64));
+        c.fp.sub(zero, pts[i].Y, pts[i].nY);
+        if (glv) {
+            c.fp.mont_mul(pts[i].X, g.beta_m, pts[n + i].X);
+            memcpy(pts[n + i].Y, pts[i].Y, MAXL * sizeof(u64));
+            memcpy(pts[n + i].nY, pts[i].nY, MAXL * sizeof(u64));
+        }
+    }
+
+    std::vector<u64> S(glv ? 2 * n * 4 : 0);
+    int maxbits = 0;
+    for (u64 i = 0; i < n; i++) {
+        if (isid[i]) {
+            if (glv) {
+                memset(&S[i * 4], 0, 4 * sizeof(u64));
+                memset(&S[(n + i) * 4], 0, 4 * sizeof(u64));
+            }
+            continue;
+        }
+        if (glv) {
+            glv_split(g, scalars + i * Lr, Lr, &S[i * 4], &S[(n + i) * 4]);
+            int b1 = scalar_bits(&S[i * 4], 4);
+            int b2 = scalar_bits(&S[(n + i) * 4], 4);
+            if (b1 > maxbits) maxbits = b1;
+            if (b2 > maxbits) maxbits = b2;
+        } else {
+            int b = scalar_bits(scalars + i * Lr, Lr);
+            if (b > maxbits) maxbits = b;
+        }
+    }
+    Pt id; pt_identity(c, id);
+    if (maxbits == 0) { store_pt(c, id, out); return; }
+
+    // swept on this host with the signed+GLV core (NOTES.md round 3:
+    // n=64 c=8 3.7ms, n=256 c=9 7.6, n=2048 c=10 30, n=16384 c=11 194,
+    // n=65536 c=12 ~760)
+    int cbits;
+    if (n < 256) cbits = 8;
+    else if (n < 1024) cbits = 9;
+    else if (n < 8192) cbits = 10;
+    else if (n < 32768) cbits = 11;
+    else cbits = 12;
+    const char* ov = getenv("BP_CPP_WINDOW");
+    if (ov && ov[0]) {
+        int v = atoi(ov);
+        if (v >= 2 && v <= 14) cbits = v;
+    }
+
+    const int nwin = (maxbits + cbits) / cbits;   // +1 bit: signed carry
+    std::vector<int16_t> dig((u64)nwin * n_eff, 0);
+    for (u64 i = 0; i < n_eff; i++) {
+        if (isid[i % n]) continue;
+        const u64* k = glv ? &S[i * 4] : scalars + i * Lr;
+        recode_signed(k, glv ? 4 : Lr, cbits, nwin, dig.data(), n_eff, i);
+    }
+    msm_ifma8_signed(c, pts.data(), dig.data(), n_eff, nwin, cbits, out);
+}
+
+#endif  // __x86_64__
+
+// Portable / general-a fallback: normalize in-native, then the classic
+// unsigned core (msm_impl) on the affine buffer.
+template <class F>
+static void msm2_generic(const CurveT<F>& c, const u64* pts_proj,
+                         const u64* scalars, u64 n, u64* out) {
+    const int L = c.fp.L64, Lr = c.Lr;
+    std::vector<char> isid;
+    std::vector<u64> AX(n * MAXL), AY(n * MAXL);
+    normalize_points(c, pts_proj, n, AX.data(), AY.data(), isid);
+    std::vector<u64> aff(n * 2 * L), ks(n * Lr);
+    memcpy(ks.data(), scalars, n * Lr * sizeof(u64));
+    for (u64 i = 0; i < n; i++) {
+        if (isid[i]) {
+            memset(&ks[i * Lr], 0, Lr * sizeof(u64));
+            memset(&aff[i * 2 * L], 0, 2 * L * sizeof(u64));
+            continue;
+        }
+        c.fp.mont_to_abi(&AX[i * MAXL], &aff[i * 2 * L]);
+        c.fp.mont_to_abi(&AY[i * MAXL], &aff[i * 2 * L + L]);
+    }
+    msm_impl(c, aff.data(), ks.data(), n, out);
+}
+
 extern "C" {
 
 void bp_msm(const u64* params, const u64* points, const u64* scalars,
@@ -1255,6 +1656,36 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
         msm_impl(c52, points, scalars, n, out);
     } else {
         msm_impl(c, points, scalars, n, out);
+    }
+}
+
+// Projective-input MSM (see header above bp_msm2's helpers).  glv_params:
+// [enabled, lam[4], mu[5], beta_plain[8]] (18 u64; all-zero disables GLV).
+void bp_msm2(const u64* params, const u64* glv_params, const u64* points,
+             const u64* scalars, u64 n, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (n == 0) {
+        Pt id; pt_identity(c, id); store_pt(c, id, out); return;
+    }
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+#if defined(__x86_64__)
+        if (!c.a_nonzero) {
+            GlvCtx g;
+            memset(&g, 0, sizeof(g));
+            g.enabled = glv_params && glv_params[0] != 0;
+            if (g.enabled) {
+                memcpy(g.lam, glv_params + 1, 4 * sizeof(u64));
+                memcpy(g.mu, glv_params + 5, 5 * sizeof(u64));
+                c52.fp.abi_to_mont(glv_params + 10, g.beta_m);
+            }
+            msm2_ifma(c52, g, points, scalars, n, out);
+            return;
+        }
+#endif
+        msm2_generic(c52, points, scalars, n, out);
+    } else {
+        msm2_generic(c, points, scalars, n, out);
     }
 }
 
