@@ -56,11 +56,13 @@ def main():
         print(f"[bench {time.strftime('%H:%M:%S')}] {section}",
               file=sys.stderr, flush=True)
 
+    mark("start: device init + point setup")
     rnd = random.Random(0xBE7C)
     with using_curve(BLS381):
         ctx = ej.CurveCtx(BLS381)
         base = [G1.random(rnd) for _ in range(256)]
         pts = base * (N // 256)
+        mark("first device transfer")
         P = ej.to_device_points(pts, ctx)
         # scalars UNIFORM mod r (a modulo-biased top limb skews the top
         # window's bucket occupancy and triggers the occupancy re-dispatch)
@@ -68,10 +70,12 @@ def main():
         vals = [rnd.randrange(BLS381.r) for _ in range(N)]
         s = jnp.asarray(fjx.ints_to_limbs(vals, ctx.fr.L))
 
+        mark("msm compile")
         t0 = time.time()
         out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW)
         compile_s = time.time() - t0
 
+        mark("msm timed reps")
         times = []
         for _ in range(REPS):
             t0 = time.time()
@@ -87,6 +91,7 @@ def main():
         # and the portable 64-bit CIOS path (AMCL-class arithmetic — the
         # honest stand-in for the reference's serial Rust MSM, and the
         # vs_baseline denominator)
+        mark("native baselines")
         from bulletproofs_tpu.ops.cpp_backend import CppBackend
         from bulletproofs_tpu.ops.field_host import Scalar as HostScalar
         scl = [HostScalar(v) for v in vals]
@@ -109,6 +114,7 @@ def main():
         extras["native_portable_msm_seconds"] = round(nat_port, 3)
         extras["native_portable_msm_points_per_s"] = round(native_pps)
 
+        mark("config1 range proof")
         # ---- BASELINE config #1: single 64-bit range proof (auto) ----
         try:
             from bulletproofs_tpu.models import bound_check
@@ -129,6 +135,7 @@ def main():
         except Exception as e:                       # pragma: no cover
             extras["config1_error"] = repr(e)[:200]
 
+        mark("config2 aggregated")
         # ---- BASELINE config #2: m=16 aggregated, DEVICE prover path ----
         try:
             from bulletproofs_tpu import (Prover, Verifier, backend as
@@ -184,6 +191,7 @@ def main():
         finally:
             backend_mod.set_backend("auto")
 
+        mark("config3 ipa n65536")
         # ---- BASELINE config #3: standalone IPA at n = 2^16 ----
         # (prove via the implicit-basis device IPA; verify p50 = the
         #  device mega-MSM check — the driver's headline verify metric)
@@ -245,6 +253,7 @@ def main():
         finally:
             backend_mod.set_backend("auto")
 
+        mark("poseidon bulk")
         # ---- bulk Poseidon hashing (batched device permutation) ----
         try:
             from bulletproofs_tpu.models.helper_constraints.poseidon import (
@@ -264,6 +273,7 @@ def main():
         except Exception as e:                       # pragma: no cover
             extras["poseidon_error"] = repr(e)[:200]
 
+        mark("smt4 updates")
         # ---- SMT-4 bulk update throughput (batched device Poseidon) ----
         try:
             from bulletproofs_tpu.models.helper_constraints.poseidon import (
@@ -291,6 +301,7 @@ def main():
         except Exception as e:                       # pragma: no cover
             extras["smt4_error"] = repr(e)[:200]
 
+        mark("roofline")
         # ---- roofline: in-loop kernel throughput vs speed-of-light ----
         try:
             from bulletproofs_tpu.utils.roofline import roofline_report

@@ -261,6 +261,103 @@ def _pick_tile(S):
     return None
 
 
+def _interpret():
+    """Interpret-mode escape hatch so CPU tests can exercise the kernels
+    (Mosaic only lowers on real TPU targets)."""
+    import os
+    return os.environ.get("BP_PALLAS_INTERPRET") == "1"
+
+
+def _kernel_unroll():
+    """Full unroll is a MOSAIC requirement (no lax.scan with xs/ys); the
+    interpret-mode CI path keeps the test-friendly scan forms — identical
+    math, ~10x faster XLA-CPU compile."""
+    from contextlib import nullcontext
+    return nullcontext() if _interpret() else _full_unroll()
+
+
+# ---------------------------------------------------------------------------
+# Round-CHUNKED fused kernel: R_c rounds per pallas_call
+#
+# The per-round kernel above pays, per round, one pallas launch plus a full
+# bucket-array HBM round trip (~4.8 MB at the n=2^16 shape).  Here the grid
+# is (tiles, R_c) with ROUNDS INNERMOST: for a fixed bucket tile the output
+# block index is constant across the inner rounds axis, so Mosaic keeps the
+# accumulators VMEM-RESIDENT for all R_c rounds (the standard revisited-
+# output reduction pattern) while the gathered row blocks stream in a
+# pipelined fashion.  Per chunk the buckets cross HBM once instead of R_c
+# times and the launch overhead is paid once.
+# ---------------------------------------------------------------------------
+
+def _rounds_chunk_kernel(ctx, L):
+    def kernel(xb, yb, zb, rows, found, mod_ref, one_ref, ox, oy, oz):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _init():
+            # first round of this tile: seed the VMEM accumulators from the
+            # incoming bucket state (out blocks are revisited, not reloaded)
+            ox[:] = xb[:]
+            oy[:] = yb[:]
+            oz[:] = zb[:]
+
+        with _kernel_unroll():
+            f = _shim(ctx, mod_ref[:])
+            rr = rows[:]                      # (T, 3L) this round's rows
+            dx = rr[:, 0:L].T
+            dy = rr[:, L:2 * L].T
+            dz = rr[:, 2 * L:3 * L].T
+            ok = found[:]                     # (1, T)
+            one = one_ref[:]
+            dx = jnp.where(ok != 0, dx, 0)
+            dy = jnp.where(ok != 0, dy, one)
+            dz = jnp.where(ok != 0, dz, 0)
+            X3, Y3, Z3 = _ec_add_2d(f, ctx.b3, ox[:], oy[:], oz[:],
+                                    dx, dy, dz)
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3,))
+def bucket_rounds_chunk_pallas(buckets, rows, found, ctx):
+    """R_c bucket rounds in ONE pallas_call.
+
+    buckets (3, L, S) Montgomery accumulators; rows (R_c*S, 3L) gathered
+    delta rows, round-major; found (R_c, S) int32 occupancy mask ->
+    updated buckets after all R_c rounds.
+    """
+    L = buckets.shape[1]
+    S = buckets.shape[2]
+    R_c = found.shape[0]
+    tile = _pick_tile(S)
+    assert tile is not None, "slot count must divide by a pallas tile"
+    n_tiles = S // tile
+    grid = (n_tiles, R_c)                     # rounds INNERMOST
+    cspec = pl.BlockSpec((L, tile), lambda i, r: (0, i),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((tile, 3 * L), lambda i, r: (r * n_tiles + i, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, tile), lambda i, r: (r, i),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((L, 1), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM)
+    mod = jnp.asarray(ctx.fp.mod)
+    one_m = jnp.asarray(ctx.fp.one_m).reshape(L, 1)
+    shape = jax.ShapeDtypeStruct((L, S), buckets.dtype)
+    X3, Y3, Z3 = pl.pallas_call(
+        _rounds_chunk_kernel(ctx, L),
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[cspec, cspec, cspec, rspec, fspec, mspec, mspec],
+        out_specs=(cspec, cspec, cspec),
+        interpret=_interpret(),
+    )(buckets[0], buckets[1], buckets[2], rows,
+      found.astype(jnp.int32), mod, one_m)
+    return jnp.stack([X3, Y3, Z3], axis=0)
+
+
 def bucket_round_supported(ctx, S):
     """The fused round kernel covers a = 0 curves (every curve but
     ed25519) at slot counts divisible by a lane tile."""

@@ -39,16 +39,28 @@ from .ec_jax import CurveCtx, ec_add, ec_double, to_device_points, \
 
 
 def _ec_kernel_choice():
-    """BP_EC_KERNEL in {auto, pallas, xla}: auto uses the fused Mosaic
-    round kernel on real TPU hardware, plain XLA elsewhere (pallas TPU
-    kernels don't lower on the CPU test mesh)."""
+    """BP_EC_KERNEL in {auto, pallas, pallas_round, xla}: auto uses the
+    round-CHUNKED fused Mosaic kernel on real TPU hardware (R_c rounds per
+    launch, buckets VMEM-resident across the chunk), plain XLA elsewhere
+    (pallas TPU kernels don't lower on the CPU test mesh).  pallas_round
+    keeps the one-launch-per-round kernel for A/B."""
     import os
     mode = os.environ.get("BP_EC_KERNEL", "auto")
-    if mode in ("pallas", "xla"):
+    if mode in ("pallas", "pallas_round", "xla"):
         return mode
     # the tunneled TPU plugin registers as "axon"; anything non-CPU is a
     # real TPU target where Mosaic lowers
     return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
+def _chunk_rounds(n_rounds):
+    """Rounds per pallas launch (BP_EC_CHUNK, default 16 — occupancy
+    guesses and escalations are already multiples of 16)."""
+    import os
+    R_c = int(os.environ.get("BP_EC_CHUNK", "16"))
+    while n_rounds % R_c:
+        R_c //= 2
+    return max(R_c, 1)
 
 
 def pick_window(n: int) -> int:
@@ -286,15 +298,46 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     found = found.reshape(n_rounds // K, K, W, B)
     buckets0 = ctx.identity_like((K, W, B))
 
-    # Fused Mosaic round kernel (ops/ec_pallas.py): the gathered rows feed
-    # one pallas kernel doing transpose + identity-mask + complete add with
-    # all intermediates VMEM-resident — measured 523 vs 723 us/round on
-    # v5e at the n=2^16 shape (scripts/bench_ec_add_variants.py, round 3).
+    # Fused Mosaic kernels (ops/ec_pallas.py): gathered rows feed a pallas
+    # kernel doing transpose + identity-mask + complete add with all
+    # intermediates VMEM-resident.  The round-CHUNKED form (default) runs
+    # R_c rounds per launch with the bucket accumulators VMEM-resident
+    # across the chunk — one launch + one bucket HBM round-trip per chunk
+    # instead of per round.  pallas_round keeps the per-round kernel
+    # (measured 523 vs 723 us/round vs XLA at the n=2^16 shape, round 3).
     # XLA fallback: CPU tests, ed25519 (a != 0), odd slot counts.
-    use_pallas = _ec_kernel_choice() == "pallas" and K == 1
+    choice = _ec_kernel_choice()
+    use_pallas = choice in ("pallas", "pallas_round") and K == 1
     if use_pallas:
         from .ec_pallas import bucket_round_supported
         use_pallas = bucket_round_supported(ctx, W * B)
+
+    if use_pallas and choice == "pallas":
+        from .ec_pallas import bucket_rounds_chunk_pallas
+
+        S = W * B
+        R_c = _chunk_rounds(n_rounds)
+        n_chunks = n_rounds // R_c
+        grid_c = grid.reshape(n_chunks, R_c, W, B)
+        found_c = found.reshape(n_chunks, R_c, S)
+
+        def chunk_body(ci, buckets):
+            pid = jnp.minimum(jax.lax.dynamic_index_in_dim(
+                grid_c, ci, 0, keepdims=False), n - 1)     # (R_c, W, B)
+            if w_off is not None:
+                pid = pid + w_off[None]
+            rows = points_rows[pid.reshape(-1)]            # (R_c*S, 3L)
+            fnd = jax.lax.dynamic_index_in_dim(
+                found_c, ci, 0, keepdims=False)            # (R_c, S)
+            return bucket_rounds_chunk_pallas(buckets, rows, fnd, ctx)
+
+        buckets = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                    buckets0.reshape(3, L, S))
+        buckets = buckets.reshape(3, L, 1, W, B)[:, :, 0]
+        if plan is not None:
+            buckets = fold_split_buckets(buckets, ctx, ranges, splits)
+        # occ comes from the slot grid, not the kernel
+        return buckets, occ
 
     if use_pallas:
         from .ec_pallas import bucket_round_add_pallas

@@ -1592,13 +1592,13 @@ static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
 
     // swept on this host with the signed+GLV core (NOTES.md round 3:
     // n=64 c=8 3.7ms, n=256 c=9 7.6, n=2048 c=10 30, n=16384 c=11 194,
-    // n=65536 c=12 ~760)
+    // n=65536 c=13 ~762 vs c=12 ~800)
     int cbits;
     if (n < 256) cbits = 8;
     else if (n < 1024) cbits = 9;
     else if (n < 8192) cbits = 10;
     else if (n < 32768) cbits = 11;
-    else cbits = 12;
+    else cbits = 13;
     const char* ov = getenv("BP_CPP_WINDOW");
     if (ov && ov[0]) {
         int v = atoi(ov);
