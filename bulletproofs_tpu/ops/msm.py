@@ -82,7 +82,7 @@ def pick_window(n: int) -> int:
 # Phase 2: bucket accumulation (the EC hot loop)
 # ---------------------------------------------------------------------------
 
-def window_plan(ctx, c, n_sets=1):
+def window_plan(ctx, c, n_sets=1, dup=False):
     """STATIC per-(curve, c) window layout with sub-bucket splitting.
 
     The top window's digits span only `range_w = (r-1 >> c*w) + 1` values
@@ -96,6 +96,18 @@ def window_plan(ctx, c, n_sets=1):
     before the combine restores true buckets.
 
     Returns (ranges, splits): numpy (n_sets*W, 1) int32 column vectors.
+
+    dup=True additionally returns a DUPLICATE-ROW plan for windows whose
+    split still can't fill the buckets (range*split in (B/2, B]): the
+    residual occupancy skew B/(range*split) (1.10x for bls381 c=8) would
+    otherwise set the GLOBAL round count.  Such windows get g-1 extra
+    physical bucket rows; `bucket_accumulate` spreads their points over
+    the g rows by index residue and EC-folds the rows back before the
+    combine — per-row occupancy drops under the uniform windows' mean, so
+    rounds are set by the uniform windows (368 -> 336 at n=2^16, c=8).
+    Return shape: (ranges, splits, dup_plan) with the extra rows' ranges/
+    splits APPENDED (after all sets) in dup_plan iteration order; dup_plan
+    is a static list of (src_row, g).
     """
     B = 1 << c
     n_bits = ctx.cv.fr.n_bits
@@ -109,9 +121,24 @@ def window_plan(ctx, c, n_sets=1):
             split *= 2
         ranges.append(rng)
         splits.append(split)
-    ranges = np.asarray(ranges * n_sets, np.int32).reshape(-1, 1)
-    splits = np.asarray(splits * n_sets, np.int32).reshape(-1, 1)
-    return ranges, splits
+    ranges_full = list(ranges) * n_sets
+    splits_full = list(splits) * n_sets
+    if not dup:
+        return (np.asarray(ranges_full, np.int32).reshape(-1, 1),
+                np.asarray(splits_full, np.int32).reshape(-1, 1))
+    dup_plan = []
+    for s in range(n_sets):
+        for w in range(W):
+            ratio = B / (ranges[w] * splits[w])
+            if ratio > 1.04:
+                g = int(np.ceil(ratio))
+                dup_plan.append((s * W + w, g))
+    for src, g in dup_plan:
+        ranges_full += [ranges_full[src]] * (g - 1)
+        splits_full += [splits_full[src]] * (g - 1)
+    return (np.asarray(ranges_full, np.int32).reshape(-1, 1),
+            np.asarray(splits_full, np.int32).reshape(-1, 1),
+            tuple(dup_plan))
 
 
 def _slot_grid(digits, B, R, ranges=None, splits=None):
@@ -215,6 +242,26 @@ def fold_split_buckets(buckets, ctx, ranges, splits):
     return jnp.concatenate(pieces, axis=2)
 
 
+def _fold_dup_rows(buckets, ctx, dup_plan, W_base):
+    """EC-fold the duplicate bucket rows (appended past W_base) back into
+    their source windows and strip them: (3, L, W', B) -> (3, L, W_base, B).
+    Static python loop — dup rows are one or two per scalar set."""
+    if not dup_plan:
+        return buckets
+    base = buckets[:, :, :W_base]
+    extra = buckets[:, :, W_base:]
+    k = 0
+    for src, g in dup_plan:
+        acc = base[:, :, src]
+        for _ in range(g - 1):
+            acc = ec_add(acc, extra[:, :, k], ctx)
+            k += 1
+        base = jnp.concatenate(
+            [base[:, :, :src], acc[:, :, None], base[:, :, src + 1:]],
+            axis=2)
+    return base
+
+
 def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
                       k_slices=1, plan=None, pre_reduce=0):
     """points (3, L, n) Montgomery, digits (W, n) -> (buckets (3, L, W, B),
@@ -246,13 +293,33 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     assert n_rounds is not None, \
         "bucket_accumulate requires a static round count"
     B = 1 << c
-    W = digits.shape[0]
     L = points.shape[1]
     n = points.shape[2]
     K = k_slices
     while n_rounds % K:
         K //= 2
-    ranges, splits = plan if plan is not None else (None, None)
+    if plan is None:
+        ranges = splits = None
+        dup_plan = ()
+    else:
+        ranges, splits = plan[0], plan[1]
+        dup_plan = plan[2] if len(plan) > 2 else ()
+    W_base = digits.shape[0]
+    if dup_plan:
+        # spread each dup'd window's points over g physical rows by index
+        # residue (see window_plan): digit-0 entries are never scheduled,
+        # so masking to 0 removes a point from a row for free
+        iota_n = jnp.arange(n, dtype=digits.dtype)
+        rows = [digits[i] for i in range(W_base)]
+        extra = []
+        for src, g in dup_plan:
+            grp = iota_n % g
+            src_digits = rows[src]
+            rows[src] = jnp.where(grp == 0, src_digits, 0)
+            for j in range(1, g):
+                extra.append(jnp.where(grp == j, src_digits, 0))
+        digits = jnp.stack(rows + extra, axis=0)
+    W = digits.shape[0]
     identity = ctx.identity
 
     if pre_reduce:
@@ -336,6 +403,7 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
         buckets = buckets.reshape(3, L, 1, W, B)[:, :, 0]
         if plan is not None:
             buckets = fold_split_buckets(buckets, ctx, ranges, splits)
+        buckets = _fold_dup_rows(buckets, ctx, dup_plan, W_base)
         # occ comes from the slot grid, not the kernel
         return buckets, occ
 
@@ -371,6 +439,7 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
     buckets = buckets[:, :, 0]
     if plan is not None:
         buckets = fold_split_buckets(buckets, ctx, ranges, splits)
+    buckets = _fold_dup_rows(buckets, ctx, dup_plan, W_base)
     return buckets, occ
 
 
@@ -494,15 +563,36 @@ def combine_buckets(buckets, ctx: CurveCtx, c: int):
 # Top level
 # ---------------------------------------------------------------------------
 
-def occupancy_guess(n, ctx, c, margin_sigma=4.0):
+def _use_dup():
+    """BP_MSM_DUP gates the duplicate-row scheduling for residual-skew
+    windows (default on; proofs are schedule-independent, bit-identical)."""
+    import os
+    return os.environ.get("BP_MSM_DUP", "1") != "0"
+
+
+def occupancy_guess(n, ctx, c, margin_sigma=4.0, dup=None):
     """STATIC round-count guess: worst per-window mean occupancy under the
-    split plan plus a Poisson tail margin, rounded to a multiple of 16 (a
-    handful of distinct values keeps the jit cache warm).  The kernels
-    return the true occupancy; drivers re-dispatch on the rare overflow."""
+    split (+ duplicate-row) plan plus a Poisson tail margin, rounded to a
+    multiple of 16 (a handful of distinct values keeps the jit cache warm).
+    The kernels return the true occupancy; drivers re-dispatch on the rare
+    overflow.  `dup` must match the plan the caller will accumulate under
+    (None = the production BP_MSM_DUP default; sharded paths pass False)."""
     import math
-    ranges, splits = window_plan(ctx, c)
-    worst = max(-(-n // (int(r) * int(s)))
-                for r, s in zip(ranges[:, 0], splits[:, 0]))
+    if dup is None:
+        dup = _use_dup()
+    plan = window_plan(ctx, c, dup=dup)
+    ranges, splits = plan[0], plan[1]
+    n_rows = ranges.shape[0]
+    row_n = [n] * n_rows
+    if len(plan) > 2:
+        k = n_rows - sum(g - 1 for _, g in plan[2])
+        for src, g in plan[2]:
+            row_n[src] = -(-n // g)
+            for _ in range(g - 1):
+                row_n[k] = -(-n // g)
+                k += 1
+    worst = max(-(-row_n[i] // (int(ranges[i, 0]) * int(splits[i, 0])))
+                for i in range(n_rows))
     guess = worst + margin_sigma * math.sqrt(worst) + 4
     return max(16, (int(guess) + 15) // 16 * 16)
 
@@ -513,7 +603,7 @@ def _msm_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
-    plan = window_plan(ctx, c)
+    plan = window_plan(ctx, c, dup=_use_dup())
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
                                      plan=plan, pre_reduce=pre_reduce)
     return combine_buckets(buckets, ctx, c), occ
@@ -540,7 +630,7 @@ def _msm_multi_totals_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
     tunnel).  The serial Horner finishes on the native host runtime."""
     S = scalars.shape[0]
     digits = _digits_multi(scalars, ctx, c)
-    plan = window_plan(ctx, c, n_sets=S)
+    plan = window_plan(ctx, c, n_sets=S, dup=_use_dup())
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
                                      plan=plan, pre_reduce=pre_reduce)
     rowsum, colsum = bucket_rowcol(buckets, ctx, c)
@@ -560,7 +650,7 @@ def _msm_multi_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
     S = scalars.shape[0]
     W = -(-ctx.cv.fr.n_bits // c)
     digits = _digits_multi(scalars, ctx, c)
-    plan = window_plan(ctx, c, n_sets=S)
+    plan = window_plan(ctx, c, n_sets=S, dup=_use_dup())
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
                                      plan=plan)
     rowsum, colsum = bucket_rowcol(buckets, ctx, c)

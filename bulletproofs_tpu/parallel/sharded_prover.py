@@ -82,7 +82,7 @@ def msm_multi_sharded(points, scalars, ctx, c, mesh):
     MSMs carry degenerate bit-vector scalars)."""
     d = mesh.devices.size
     ns = points.shape[2] // d
-    rounds = msm_mod.occupancy_guess(max(ns, 1), ctx, c)
+    rounds = msm_mod.occupancy_guess(max(ns, 1), ctx, c, dup=False)
     pre = 0
     while True:
         out, occ = _msm_multi_sharded_jit(points, scalars, ctx, c, mesh,
