@@ -89,6 +89,38 @@ def test_msm_device_bn254(rng):
         assert msm_mod.msm(pts, ks) == msm_host(pts, ks)
 
 
+def test_msm_device_dup_rows_c8(rng):
+    """Duplicate-row scheduling fires only where sub-bucket splitting can't
+    fill the buckets — on bls381 that is c=8 (top window range*split = 232
+    of 256, `window_plan` dup).  Smaller test windows never trigger it, so
+    pin c=8 here and cross-check the dup spread + EC fold-back against the
+    exact host backend, single- and multi-set."""
+    with using_curve(BLS381):
+        ctx = ej.CurveCtx(BLS381)
+        plan = msm_mod.window_plan(ctx, 8, dup=True)
+        assert len(plan) == 3 and plan[2], "bls381 c=8 must have a dup row"
+
+        n = 300
+        pts = [G1.random(rng) for _ in range(n)]
+        ks = [Scalar.random(rng) for _ in range(n)]
+        ks[3] = Scalar(0)
+        P = ej.to_device_points(pts, ctx)
+        s = ej.to_device_scalars(ks, ctx)
+        rounds = msm_mod.occupancy_guess(n, ctx, 8, dup=True)
+        out, occ = msm_mod._msm_device_jit(P, s, ctx, 8, rounds)
+        assert int(occ) <= rounds
+        assert ej.from_device_points(out, ctx)[0] == msm_host(pts, ks)
+
+        # multi-set: dup rows are appended AFTER all sets; the fold must
+        # route each back to its own set's source window
+        ks2 = [Scalar.random(rng) for _ in range(n)]
+        s2 = jnp.stack([s, ej.to_device_scalars(ks2, ctx)], axis=0)
+        out2, occ2 = msm_mod._msm_multi_device_jit(P, s2, ctx, 8, rounds)
+        got = ej.from_device_points(out2, ctx)
+        assert got[0] == msm_host(pts, ks)
+        assert got[1] == msm_host(pts, ks2)
+
+
 def test_sharded_msm_8dev(rng):
     from bulletproofs_tpu.parallel import make_mesh, msm_sharded_jit
     assert len(jax.devices()) >= 8
