@@ -34,6 +34,16 @@ class Scalar:
             v = v.v
         self.v = v % self.cv.r
 
+    @classmethod
+    def _new(cls, v, cv):
+        """Fast internal constructor: `v` MUST already be reduced mod cv.r.
+        Skips the coercion/validation of __init__ — the constraint-synthesis
+        hot loop (LinearCombination algebra) constructs millions of these."""
+        s = object.__new__(cls)
+        s.v = v
+        s.cv = cv
+        return s
+
     # ---- constructors mirroring amcl_wrapper::FieldElement ----
     @classmethod
     def zero(cls, cv=None):
@@ -85,7 +95,7 @@ class Scalar:
         v = _val(o)
         if v is NotImplemented:
             return NotImplemented
-        return Scalar(self.v + v, self.cv)
+        return Scalar._new((self.v + v) % self.cv.r, self.cv)
 
     __radd__ = __add__
 
@@ -93,36 +103,36 @@ class Scalar:
         v = _val(o)
         if v is NotImplemented:
             return NotImplemented
-        return Scalar(self.v - v, self.cv)
+        return Scalar._new((self.v - v) % self.cv.r, self.cv)
 
     def __rsub__(self, o):
         v = _val(o)
         if v is NotImplemented:
             return NotImplemented
-        return Scalar(v - self.v, self.cv)
+        return Scalar._new((v - self.v) % self.cv.r, self.cv)
 
     def __mul__(self, o):
         v = _val(o)
         if v is NotImplemented:
             return NotImplemented
-        return Scalar(self.v * v, self.cv)
+        return Scalar._new(self.v * v % self.cv.r, self.cv)
 
     __rmul__ = __mul__
 
     def __neg__(self):
-        return Scalar(-self.v, self.cv)
+        return Scalar._new(-self.v % self.cv.r, self.cv)
 
     def negation(self):
         return -self
 
     def square(self):
-        return Scalar(self.v * self.v, self.cv)
+        return Scalar._new(self.v * self.v % self.cv.r, self.cv)
 
     def inverse(self):
-        return Scalar(pow(self.v, -1, self.cv.r), self.cv)
+        return Scalar._new(pow(self.v, -1, self.cv.r), self.cv)
 
     def __pow__(self, e):
-        return Scalar(pow(self.v, int(e), self.cv.r), self.cv)
+        return Scalar._new(pow(self.v, int(e), self.cv.r), self.cv)
 
     # ---- bit probing (positive_no gadget: `positive_no.rs:19-20`) ----
     def shift_right(self, i):

@@ -21,10 +21,27 @@ MULT_OUTPUT = 3
 ONE = 4
 
 
-@dataclass(frozen=True)
 class Variable:
-    kind: int
-    index: int = 0
+    """Frozen (kind, index) record with a precomputed hash — Variables key
+    the `simplify`/flattening dicts in the constraint-synthesis hot loop
+    (millions of hash/eq calls per gadget proof)."""
+
+    __slots__ = ("kind", "index", "_h")
+
+    def __init__(self, kind, index=0):
+        self.kind = kind
+        self.index = index
+        self._h = hash((kind, index))
+
+    def __eq__(self, other):
+        return (isinstance(other, Variable) and other.kind == self.kind
+                and other.index == self.index)
+
+    def __hash__(self):
+        return self._h
+
+    def __repr__(self):
+        return f"Variable(kind={self.kind}, index={self.index})"
 
     @staticmethod
     def committed(i):
@@ -44,7 +61,7 @@ class Variable:
 
     @staticmethod
     def one():
-        return Variable(ONE, 0)
+        return ONE_VAR
 
     # arithmetic produces LinearCombinations
     def __add__(self, other):
@@ -66,6 +83,9 @@ class Variable:
 
     def __neg__(self):
         return -LinearCombination.from_var(self)
+
+
+ONE_VAR = Variable(ONE, 0)
 
 
 @dataclass
@@ -108,14 +128,19 @@ class LinearCombination:
         return _coerce(x)
 
     def simplify(self):
-        """Combine duplicate variables (`linear_combination.rs:53-67`)."""
+        """Combine duplicate variables (`linear_combination.rs:53-67`).
+        Accumulates raw ints and re-wraps once per distinct variable — the
+        synthesis hot loop calls this thousands of times per gadget."""
         acc = {}
+        cvs = {}
         for var, coeff in self.terms:
             if var in acc:
-                acc[var] = acc[var] + coeff
+                acc[var] += coeff.v
             else:
-                acc[var] = coeff
-        return LinearCombination(list(acc.items()))
+                acc[var] = coeff.v
+                cvs[var] = coeff.cv
+        return LinearCombination(
+            [(v, Scalar._new(c % cvs[v].r, cvs[v])) for v, c in acc.items()])
 
     def __len__(self):
         return len(self.terms)
@@ -129,17 +154,20 @@ class LinearCombination:
     def __sub__(self, other):
         other = _coerce(other)
         return LinearCombination(
-            self.terms + [(v, -c) for v, c in other.terms])
+            self.terms
+            + [(v, Scalar._new(-c.v % c.cv.r, c.cv)) for v, c in other.terms])
 
     def __rsub__(self, other):
         return _coerce(other) - self
 
     def __neg__(self):
-        return LinearCombination([(v, -c) for v, c in self.terms])
+        return LinearCombination(
+            [(v, Scalar._new(-c.v % c.cv.r, c.cv)) for v, c in self.terms])
 
     def __mul__(self, scalar):
-        s = _as_scalar(scalar)
-        return LinearCombination([(v, c * s) for v, c in self.terms])
+        s = _as_scalar(scalar).v
+        return LinearCombination(
+            [(v, Scalar._new(c.v * s % c.cv.r, c.cv)) for v, c in self.terms])
 
     __rmul__ = __mul__
 
