@@ -45,7 +45,8 @@ def get_lib():
                 os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
         _lib = ctypes.CDLL(_SO)
-        for fn in ("bp_msm", "bp_msm2", "bp_fold", "bp_scalar_mul_batch",
+        for fn in ("bp_msm", "bp_msm2", "bp_fold", "bp_fold2",
+                   "bp_scalar_mul_batch",
                    "bp_add_batch", "bp_combine_rowcol",
                    "bp_combine_totals"):
             getattr(_lib, fn).restype = None
@@ -277,11 +278,12 @@ class CppBackend:
         s1 = s1 if isinstance(s1, (list, tuple)) else [s1] * n
         s2 = s2 if isinstance(s2, (list, tuple)) else [s2] * n
         out = np.zeros(n * 3 * abi.Lp, dtype=np.uint64)
-        lib.bp_fold(_ptr(abi.params), _ptr(abi.points_to_buf(P_L)),
-                    _ptr(abi.points_to_buf(P_R)),
-                    _ptr(abi.scalars_to_buf(s1)),
-                    _ptr(abi.scalars_to_buf(s2)),
-                    ctypes.c_uint64(n), _ptr(out))
+        lib.bp_fold2(_ptr(abi.params), _ptr(abi.glv_block()),
+                     _ptr(abi.points_to_buf(P_L)),
+                     _ptr(abi.points_to_buf(P_R)),
+                     _ptr(abi.scalars_to_buf(s1)),
+                     _ptr(abi.scalars_to_buf(s2)),
+                     ctypes.c_uint64(n), _ptr(out))
         return abi.buf_to_points(out, n)
 
     def scalar_mul_batch(self, points, scalars):

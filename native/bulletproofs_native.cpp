@@ -1419,6 +1419,106 @@ static void recode_signed(const u64* k, int Lr, int cbits, int nwin,
 
 #if defined(__x86_64__)
 
+// GLV variant of the 8-way fold ladder: each lane's s1*A + s2*B becomes
+// a1*A + b1*psi(A) + a2*B + b2*psi(B) with psi(X,Y,Z) = (beta*X, Y, Z) and
+// s = a + lam*b the exact integer split (a = s mod lam, b = s div lam, both
+// ~half-width, nonnegative), so the shared-doubling ladder runs ~129 bits
+// instead of ~255.  Per-lane 16-entry tables [bit0:A, bit1:psiA, bit2:B,
+// bit3:psiB]; the 11 composite entries are built with 8-way adds.  Assumes
+// prime-order-subgroup inputs (same contract as the GLV MSM; the eigenvalue
+// relation lam*P == psi(P) is self-tested in cpp_backend.py::glv_block).
+BP_TGT
+static void fold_impl8_glv(const CurveT<Field52>& c, const GlvCtx& g,
+                           const u64* PL, const u64* PR,
+                           const u64* s1, const u64* s2, u64 n, u64* out) {
+    const int L = c.fp.L64, Lr = c.Lr;
+    const int K = c.fp.L;
+    F52x8 fx; fx.init(c.fp);
+    u64 i0 = 0;
+    for (; i0 + 8 <= n; i0 += 8) {
+        Pt tab[8][16];
+        u64 ks[8][4][4];          // per lane: a1, b1, a2, b2 (4 limbs each)
+        int bits = 1;
+        for (int l = 0; l < 8; l++) {
+            pt_identity(c, tab[l][0]);
+            load_pt(c, PL + (i0 + l) * 3 * L, tab[l][1]);
+            load_pt(c, PR + (i0 + l) * 3 * L, tab[l][4]);
+            tab[l][2] = tab[l][1];
+            c.fp.mont_mul(tab[l][1].X, g.beta_m, tab[l][2].X);
+            tab[l][8] = tab[l][4];
+            c.fp.mont_mul(tab[l][4].X, g.beta_m, tab[l][8].X);
+            glv_split(g, s1 + (i0 + l) * Lr, Lr, ks[l][0], ks[l][1]);
+            glv_split(g, s2 + (i0 + l) * Lr, Lr, ks[l][2], ks[l][3]);
+            for (int j = 0; j < 4; j++) {
+                int b = scalar_bits(ks[l][j], 4);
+                if (b > bits) bits = b;
+            }
+        }
+        for (int e = 3; e < 16; e++) {         // composite entries, 8-way
+            if ((e & (e - 1)) == 0) continue;
+            const int lo = e & (-e), rest = e - lo;
+            const u64 *ax[8], *ay[8], *az[8], *bx[8], *by[8], *bz[8];
+            u64 *ox[8], *oy[8], *oz[8];
+            for (int l = 0; l < 8; l++) {
+                ax[l] = tab[l][rest].X; ay[l] = tab[l][rest].Y;
+                az[l] = tab[l][rest].Z;
+                bx[l] = tab[l][lo].X; by[l] = tab[l][lo].Y;
+                bz[l] = tab[l][lo].Z;
+                ox[l] = tab[l][e].X; oy[l] = tab[l][e].Y;
+                oz[l] = tab[l][e].Z;
+            }
+            Pt8 A8, B8;
+            gather8(ax, A8.X, K); gather8(ay, A8.Y, K); gather8(az, A8.Z, K);
+            gather8(bx, B8.X, K); gather8(by, B8.Y, K); gather8(bz, B8.Z, K);
+            pt_add8(fx, c.b3, A8, B8, A8);
+            scatter8(A8.X, ox, K); scatter8(A8.Y, oy, K);
+            scatter8(A8.Z, oz, K);
+        }
+        Pt8 ACC;
+        {
+            Pt id8[8];
+            const u64* px[8]; const u64* py[8]; const u64* pz[8];
+            for (int l = 0; l < 8; l++) {
+                pt_identity(c, id8[l]);
+                px[l] = id8[l].X; py[l] = id8[l].Y; pz[l] = id8[l].Z;
+            }
+            gather8(px, ACC.X, K); gather8(py, ACC.Y, K);
+            gather8(pz, ACC.Z, K);
+        }
+        for (int bi = bits - 1; bi >= 0; bi--) {
+            pt_add8(fx, c.b3, ACC, ACC, ACC);          // shared doubling
+            const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
+            for (int l = 0; l < 8; l++) {
+                int sel = scalar_bit(ks[l][0], 4, bi)
+                        | (scalar_bit(ks[l][1], 4, bi) << 1)
+                        | (scalar_bit(ks[l][2], 4, bi) << 2)
+                        | (scalar_bit(ks[l][3], 4, bi) << 3);
+                qx[l] = tab[l][sel].X;
+                qy[l] = tab[l][sel].Y;
+                qz[l] = tab[l][sel].Z;
+            }
+            Pt8 Q;
+            gather8(qx, Q.X, K); gather8(qy, Q.Y, K); gather8(qz, Q.Z, K);
+            pt_add8(fx, c.b3, ACC, Q, ACC);
+        }
+        {
+            Pt res[8];
+            u64* rx[8]; u64* ry[8]; u64* rz[8];
+            for (int l = 0; l < 8; l++) {
+                memset(&res[l], 0, sizeof(Pt));
+                rx[l] = res[l].X; ry[l] = res[l].Y; rz[l] = res[l].Z;
+            }
+            scatter8(ACC.X, rx, K); scatter8(ACC.Y, ry, K);
+            scatter8(ACC.Z, rz, K);
+            for (int l = 0; l < 8; l++)
+                store_pt(c, res[l], out + (i0 + l) * 3 * L);
+        }
+    }
+    if (i0 < n)                        // remainder lanes, 1-way plain
+        fold_impl(c, PL + i0 * 3 * L, PR + i0 * 3 * L, s1 + i0 * Lr,
+                  s2 + i0 * Lr, n - i0, out + i0 * 3 * L);
+}
+
 // Montgomery-form affine point with its negation's Y cached (192 bytes =
 // 3 cache lines; digit sign selects Y vs nY at schedule time).
 struct AffM { u64 X[MAXL], Y[MAXL], nY[MAXL]; };
@@ -1697,6 +1797,36 @@ void bp_fold(const u64* params, const u64* PL, const u64* PR,
 #if defined(__x86_64__)
         if (!c.a_nonzero) {
             fold_impl8(c52, PL, PR, s1, s2, n, out);
+            return;
+        }
+#endif
+        fold_impl(c52, PL, PR, s1, s2, n, out);
+    } else {
+        fold_impl(c, PL, PR, s1, s2, n, out);
+    }
+}
+
+// GLV-aware fold: glv_params as in bp_msm2 ([enabled, lam[4], mu[5],
+// beta_plain[8]]; all-zero disables the endomorphism path).
+void bp_fold2(const u64* params, const u64* glv_params, const u64* PL,
+              const u64* PR, const u64* s1, const u64* s2, u64 n,
+              u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+#if defined(__x86_64__)
+        if (!c.a_nonzero) {
+            if (glv_params && glv_params[0] != 0) {
+                GlvCtx g;
+                memset(&g, 0, sizeof(g));
+                g.enabled = true;
+                memcpy(g.lam, glv_params + 1, 4 * sizeof(u64));
+                memcpy(g.mu, glv_params + 5, 5 * sizeof(u64));
+                c52.fp.abi_to_mont(glv_params + 10, g.beta_m);
+                fold_impl8_glv(c52, g, PL, PR, s1, s2, n, out);
+            } else {
+                fold_impl8(c52, PL, PR, s1, s2, n, out);
+            }
             return;
         }
 #endif
