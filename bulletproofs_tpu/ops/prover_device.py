@@ -172,7 +172,7 @@ def build_zfold_tables(constraints, n, m, include_one=False):
             bucket = per.get(var.kind)
             if bucket is not None:
                 idx = 0 if var.kind == _ONE else var.index
-                bucket[idx].append((q_i, coeff.v))
+                bucket[idx].append((q_i, coeff))
     out = {}
     for kind, table in per.items():
         T = max(1, max((len(t) for t in table), default=1))

@@ -11,6 +11,7 @@ provides (`linear_combination.rs:113-237`), plus `simplify()`
 
 from dataclasses import dataclass
 
+from ..config import curve
 from ..ops.field_host import Scalar
 
 # Variable kinds
@@ -77,7 +78,7 @@ class Variable:
         return _coerce(other) - LinearCombination.from_var(self)
 
     def __mul__(self, scalar):
-        return LinearCombination([(self, _as_scalar(scalar))])
+        return LinearCombination._new([(self, _as_int(scalar))])
 
     __rmul__ = __mul__
 
@@ -95,11 +96,12 @@ class AllocatedQuantity:
     assignment: object = None  # Optional[Scalar]
 
 
-def _as_scalar(x):
+def _as_int(x):
+    """Coefficient as a plain int reduced mod the curve order."""
     if isinstance(x, Scalar):
-        return x
+        return x.v
     if isinstance(x, int):
-        return Scalar(x)
+        return x % curve().r
     raise TypeError(f"cannot use {type(x)} as scalar coefficient")
 
 
@@ -109,65 +111,83 @@ def _coerce(x):
     if isinstance(x, Variable):
         return LinearCombination.from_var(x)
     if isinstance(x, (Scalar, int)):
-        return LinearCombination([(Variable.one(), _as_scalar(x))])
+        return LinearCombination._new([(ONE_VAR, _as_int(x))])
     raise TypeError(f"cannot coerce {type(x)} to LinearCombination")
 
 
 class LinearCombination:
+    """Ordered [(Variable, coeff)] with the reference's duplicate-keeping
+    semantics (`linear_combination.rs:30-111`).  Coefficients are stored as
+    PLAIN INTS reduced mod the curve order — constraint synthesis is the
+    host-side hot loop (millions of coefficient ops per SMT/Poseidon gadget)
+    and Scalar wrappers cost more than the arithmetic.  Public constructors
+    accept Scalar or int coefficients; `.terms` yields (Variable, int)."""
+
     __slots__ = ("terms",)
 
     def __init__(self, terms=None):
-        self.terms = list(terms) if terms else []
+        if terms:
+            r = curve().r
+            self.terms = [
+                (v, c.v if isinstance(c, Scalar) else int(c) % r)
+                for v, c in terms]
+        else:
+            self.terms = []
+
+    @classmethod
+    def _new(cls, terms):
+        """Internal fast constructor: terms already [(Variable, int)] with
+        ints reduced mod r."""
+        lc = object.__new__(cls)
+        lc.terms = terms
+        return lc
 
     @staticmethod
     def from_var(v: Variable):
-        return LinearCombination([(v, Scalar.one())])
+        return LinearCombination._new([(v, 1)])
 
     @staticmethod
     def coerce(x):
         return _coerce(x)
 
     def simplify(self):
-        """Combine duplicate variables (`linear_combination.rs:53-67`).
-        Accumulates raw ints and re-wraps once per distinct variable — the
-        synthesis hot loop calls this thousands of times per gadget."""
+        """Combine duplicate variables (`linear_combination.rs:53-67`)."""
         acc = {}
-        cvs = {}
         for var, coeff in self.terms:
             if var in acc:
-                acc[var] += coeff.v
+                acc[var] += coeff
             else:
-                acc[var] = coeff.v
-                cvs[var] = coeff.cv
-        return LinearCombination(
-            [(v, Scalar._new(c % cvs[v].r, cvs[v])) for v, c in acc.items()])
+                acc[var] = coeff
+        r = curve().r
+        return LinearCombination._new([(v, c % r) for v, c in acc.items()])
 
     def __len__(self):
         return len(self.terms)
 
     def __add__(self, other):
         other = _coerce(other)
-        return LinearCombination(self.terms + other.terms)
+        return LinearCombination._new(self.terms + other.terms)
 
     __radd__ = __add__
 
     def __sub__(self, other):
         other = _coerce(other)
-        return LinearCombination(
-            self.terms
-            + [(v, Scalar._new(-c.v % c.cv.r, c.cv)) for v, c in other.terms])
+        r = curve().r
+        return LinearCombination._new(
+            self.terms + [(v, -c % r) for v, c in other.terms])
 
     def __rsub__(self, other):
         return _coerce(other) - self
 
     def __neg__(self):
-        return LinearCombination(
-            [(v, Scalar._new(-c.v % c.cv.r, c.cv)) for v, c in self.terms])
+        r = curve().r
+        return LinearCombination._new([(v, -c % r) for v, c in self.terms])
 
     def __mul__(self, scalar):
-        s = _as_scalar(scalar).v
-        return LinearCombination(
-            [(v, Scalar._new(c.v * s % c.cv.r, c.cv)) for v, c in self.terms])
+        s = _as_int(scalar)
+        r = curve().r
+        return LinearCombination._new(
+            [(v, c * s % r) for v, c in self.terms])
 
     __rmul__ = __mul__
 

@@ -81,7 +81,7 @@ class Prover(ConstraintSystem):
                 val = self.v[var.index].v
             else:  # ONE
                 val = 1
-            total += coeff.v * val
+            total += coeff * val
         return Scalar(total % r)
 
     def _allocate_vars(self, l, r, o):
@@ -160,13 +160,13 @@ class Prover(ConstraintSystem):
             for var, coeff in lc.terms:
                 k = var.kind
                 if k == MULT_LEFT:
-                    wL[var.index] = (wL[var.index] + exp_z * coeff.v) % r
+                    wL[var.index] = (wL[var.index] + exp_z * coeff) % r
                 elif k == MULT_RIGHT:
-                    wR[var.index] = (wR[var.index] + exp_z * coeff.v) % r
+                    wR[var.index] = (wR[var.index] + exp_z * coeff) % r
                 elif k == MULT_OUTPUT:
-                    wO[var.index] = (wO[var.index] + exp_z * coeff.v) % r
+                    wO[var.index] = (wO[var.index] + exp_z * coeff) % r
                 elif k == COMMITTED:
-                    wV[var.index] = (wV[var.index] - exp_z * coeff.v) % r
+                    wV[var.index] = (wV[var.index] - exp_z * coeff) % r
                 # ONE: prover skips constant terms
             exp_z = exp_z * zv % r
         return ([Scalar(x) for x in wL], [Scalar(x) for x in wR],
@@ -187,13 +187,13 @@ class Prover(ConstraintSystem):
             for var, coeff in lc.terms:
                 k = var.kind
                 if k == MULT_LEFT:
-                    WL[r_i][var.index] = coeff
+                    WL[r_i][var.index] = Scalar(coeff)
                 elif k == MULT_RIGHT:
-                    WR[r_i][var.index] = coeff
+                    WR[r_i][var.index] = Scalar(coeff)
                 elif k == MULT_OUTPUT:
-                    WO[r_i][var.index] = coeff
+                    WO[r_i][var.index] = Scalar(coeff)
                 elif k == COMMITTED:
-                    WV[r_i][var.index] = coeff
+                    WV[r_i][var.index] = Scalar(coeff)
         return WL, WR, WO, WV
 
     def flattened_constraints_elaborated(self, z):

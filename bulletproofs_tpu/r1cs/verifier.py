@@ -99,15 +99,15 @@ class Verifier(ConstraintSystem):
             for var, coeff in lc.terms:
                 k = var.kind
                 if k == MULT_LEFT:
-                    wL[var.index] = (wL[var.index] + exp_z * coeff.v) % r
+                    wL[var.index] = (wL[var.index] + exp_z * coeff) % r
                 elif k == MULT_RIGHT:
-                    wR[var.index] = (wR[var.index] + exp_z * coeff.v) % r
+                    wR[var.index] = (wR[var.index] + exp_z * coeff) % r
                 elif k == MULT_OUTPUT:
-                    wO[var.index] = (wO[var.index] + exp_z * coeff.v) % r
+                    wO[var.index] = (wO[var.index] + exp_z * coeff) % r
                 elif k == COMMITTED:
-                    wV[var.index] = (wV[var.index] - exp_z * coeff.v) % r
+                    wV[var.index] = (wV[var.index] - exp_z * coeff) % r
                 else:  # ONE
-                    wc = (wc - exp_z * coeff.v) % r
+                    wc = (wc - exp_z * coeff) % r
             exp_z = exp_z * zv % r
         return ([Scalar(v) for v in wL], [Scalar(v) for v in wR],
                 [Scalar(v) for v in wO], [Scalar(v) for v in wV], Scalar(wc))
