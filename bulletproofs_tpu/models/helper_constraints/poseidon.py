@@ -19,7 +19,7 @@ import os
 
 from ...config import curve
 from ...ops.field_host import Scalar
-from ...r1cs.linear_combination import LinearCombination, Variable
+from ...r1cs.linear_combination import (ONE_VAR, LinearCombination, Variable)
 from . import constrain_lc_with_scalar
 from .non_zero import is_nonzero_gadget
 
@@ -178,17 +178,77 @@ def Poseidon_permutation_constraints(cs, inputs, params: PoseidonParams,
         off += width
         state = linear_layer(outs)
 
+    # Partial rounds: only ONE new multiplier variable appears per round, so
+    # every state position is a combination over one shared, slowly-growing
+    # variable support.  Keep that support explicitly ([vars], width rows of
+    # int coefficients) and run the MDS mix as plain int mul-adds — the LC
+    # object algebra (alloc + simplify per round) was the synthesis hot spot
+    # for every Poseidon-based gadget.  Same constraints, same weights.
+    r_mod = curve().r
+    mds_int = [[m.v for m in row] for row in params.mds]
+    sup_vars = []                     # shared variable support, in first-use
+    sup_index = {}                    # order (matches simplify() ordering)
+    rows = [[] for _ in range(width)]  # rows[i][k] = coeff of sup_vars[k]
+    for i in range(width):
+        for v, c in state[i].simplify().terms:
+            if v not in sup_index:
+                sup_index[v] = len(sup_vars)
+                sup_vars.append(v)
+                for row in rows:
+                    row.append(0)
+            rows[i][sup_index[v]] = c
+
+    one_idx = sup_index.get(ONE_VAR)
+    if one_idx is None:
+        one_idx = len(sup_vars)
+        sup_index[ONE_VAR] = one_idx
+        sup_vars.append(ONE_VAR)
+        for row in rows:
+            row.append(0)
+
     for _ in range(params.partial_rounds):
-        outs = []
-        for i in range(width):
-            if i == width - 1:
-                outs.append(synthesize_sbox(cs, sbox, state[i],
-                                            params.round_keys[off + i]))
-            else:
-                outs.append(state[i] + params.round_keys[off + i])
+        last = width - 1
+        last_lc = LinearCombination._new(
+            [(v, c) for v, c in zip(sup_vars, rows[last]) if c])
+        sbox_out = synthesize_sbox(cs, sbox, last_lc,
+                                   params.round_keys[off + last])
         off += width
-        # partial-round LCs grow linearly; simplify() keeps them compact
-        state = [lc.simplify() for lc in linear_layer(outs)]
+        # out rows: i < last gets +key on ONE; last becomes the new sbox var
+        for i in range(last):
+            rows[i][one_idx] = (rows[i][one_idx]
+                                + params.round_keys[off - width + i].v) % r_mod
+        if isinstance(sbox_out, Variable):
+            new_var, new_coeff = sbox_out, 1
+        else:
+            (new_var, new_coeff), = sbox_out.simplify().terms
+        new_idx = sup_index.get(new_var)
+        if new_idx is None:
+            new_idx = len(sup_vars)
+            sup_index[new_var] = new_idx
+            sup_vars.append(new_var)
+            for row in rows:
+                row.append(0)
+        last_row = [0] * len(sup_vars)
+        last_row[new_idx] = new_coeff
+        rows[last] = last_row
+        # MDS mix: nxt[i] = sum_j mds[j][i] * rows[j]  (plain int mul-adds)
+        nwidth = len(sup_vars)
+        nxt = []
+        for i in range(width):
+            col = [mds_int[j][i] for j in range(width)]
+            acc = [0] * nwidth
+            for j in range(width):
+                m = col[j]
+                rj = rows[j]
+                for k in range(nwidth):
+                    c = rj[k]
+                    if c:
+                        acc[k] += m * c
+            nxt.append([a % r_mod for a in acc])
+        rows = nxt
+
+    state = [LinearCombination._new(
+        [(v, c) for v, c in zip(sup_vars, row) if c]) for row in rows]
 
     for _ in range(params.full_rounds_end):
         outs = [synthesize_sbox(cs, sbox, state[i], params.round_keys[off + i])

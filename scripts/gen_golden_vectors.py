@@ -117,12 +117,70 @@ def gen_proof_vectors():
     return out
 
 
+def gen_poseidon_proof_vectors():
+    """Poseidon-hash-4 preimage proofs (all 3 s-boxes) and a depth-3 SMT-4
+    leaf-inclusion proof under seeded blinding, per curve with width-5
+    constants.  Pins the LC-synthesis path of the Poseidon/SMT gadget family
+    (`/root/reference/src/r1cs/gadgets/poseidon_hash.rs:74-499`,
+    `sparse_merkle_tree_4_ary.rs:22-130`) byte-for-byte."""
+    from bulletproofs_tpu.models import poseidon_hash as ph
+    from bulletproofs_tpu.models import sparse_merkle_tree_4_ary as smt4
+    from bulletproofs_tpu.models.helper_constraints.poseidon import (
+        Poseidon_hash_4, PoseidonParams, SboxType)
+    from bulletproofs_tpu.models.helper_constraints.sparse_merkle_tree_4_ary \
+        import VanillaSparseMerkleTree_4
+    from bulletproofs_tpu.utils.hash_db import InMemoryHashDb
+
+    out = {}
+    for name in CURVE_NAMES:
+        with using_curve(CURVES[name]):
+            try:
+                params = PoseidonParams(5, 4, 4, 56)
+            except Exception:
+                continue            # no width-5 constants for this curve
+            rng = random.Random(0xCAFE)
+            G = get_generators("G", 2048)
+            H = get_generators("H", 2048)
+            g = G1.from_msg_hash(b"g")
+            h = G1.from_msg_hash(b"h")
+            entry = {"rng_seed": "0xCAFE", "rounds": [4, 4, 56], "width": 5,
+                     "hash4": {}, "smt4_depth3": {}}
+            inputs = [Scalar(11), Scalar(22), Scalar(33), Scalar(44)]
+            for sbox in (SboxType.Quint, SboxType.Cube, SboxType.Inverse):
+                expected = Poseidon_hash_4(inputs, params, sbox)
+                proof, comms = \
+                    ph.gen_proof_of_knowledge_of_preimage_of_Poseidon_4(
+                        inputs, None, expected, params, sbox, rng,
+                        b"golden-pos4", g, h, G, H)
+                entry["hash4"][sbox] = {
+                    "expected_output": hex(expected.v),
+                    "proof_bytes": proof.to_bytes().hex(),
+                    "commitments": [c.to_bytes().hex() for c in comms],
+                }
+            db = InMemoryHashDb()
+            tree = VanillaSparseMerkleTree_4(params, 3, db)
+            tree.update(Scalar(9), Scalar(42), db)
+            nodes = []
+            leaf = tree.get(Scalar(9), nodes, db)
+            proof, comms = smt4.gen_proof_of_leaf_inclusion_4_ary_merkle_tree(
+                leaf, Scalar(9), None, nodes, tree.root, 3, params,
+                SboxType.Quint, rng, b"golden-smt4", g, h, G, H)
+            entry["smt4_depth3"] = {
+                "root": hex(tree.root.v),
+                "proof_bytes": proof.to_bytes().hex(),
+                "commitments": [c.to_bytes().hex() for c in comms],
+            }
+            out[name] = entry
+    return out
+
+
 def main():
     os.makedirs(VEC_DIR, exist_ok=True)
     for fname, data in (
         ("generators.json", gen_generator_vectors()),
         ("transcript.json", gen_transcript_vectors()),
         ("proofs.json", gen_proof_vectors()),
+        ("poseidon_proofs.json", gen_poseidon_proof_vectors()),
     ):
         path = os.path.join(VEC_DIR, fname)
         with open(path, "w") as f:
