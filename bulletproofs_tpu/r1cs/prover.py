@@ -331,11 +331,26 @@ class Prover(ConstraintSystem):
         t_5_blinding = Scalar.random(rng)
         t_6_blinding = Scalar.random(rng)
 
-        T_1 = commit_to_field_element(self.g, self.h, t_poly.t1, t_1_blinding)
-        T_3 = commit_to_field_element(self.g, self.h, t_poly.t3, t_3_blinding)
-        T_4 = commit_to_field_element(self.g, self.h, t_poly.t4, t_4_blinding)
-        T_5 = commit_to_field_element(self.g, self.h, t_poly.t5, t_5_blinding)
-        T_6 = commit_to_field_element(self.g, self.h, t_poly.t6, t_6_blinding)
+        be = get_backend(10)
+        if hasattr(be, "fold_points"):
+            # one batched native two-scalar fold for all five T_i Pedersen
+            # commitments (g^t h^b each) instead of five Python ladders
+            T_1, T_3, T_4, T_5, T_6 = be.fold_points(
+                [self.g] * 5, [self.h] * 5,
+                [t_poly.t1, t_poly.t3, t_poly.t4, t_poly.t5, t_poly.t6],
+                [t_1_blinding, t_3_blinding, t_4_blinding, t_5_blinding,
+                 t_6_blinding])
+        else:
+            T_1 = commit_to_field_element(self.g, self.h, t_poly.t1,
+                                          t_1_blinding)
+            T_3 = commit_to_field_element(self.g, self.h, t_poly.t3,
+                                          t_3_blinding)
+            T_4 = commit_to_field_element(self.g, self.h, t_poly.t4,
+                                          t_4_blinding)
+            T_5 = commit_to_field_element(self.g, self.h, t_poly.t5,
+                                          t_5_blinding)
+            T_6 = commit_to_field_element(self.g, self.h, t_poly.t6,
+                                          t_6_blinding)
 
         tr.commit_point(b"T_1", T_1)
         tr.commit_point(b"T_3", T_3)
@@ -370,7 +385,10 @@ class Prover(ConstraintSystem):
         tr.commit_scalar(b"e_blinding", e_blinding)
 
         w = tr.challenge_scalar(b"w")
-        Q = self.g * w
+        if hasattr(be, "scalar_mul_batch"):
+            (Q,) = be.scalar_mul_batch([self.g], [w])
+        else:
+            Q = self.g * w
 
         one = Scalar.one()
         G_factors = [one] * n1 + [u] * (n2 + pad)

@@ -37,9 +37,33 @@ def _rotl(x, n):
     return ((x << n) | (x >> (64 - n))) & _MASK
 
 
+_native = None
+
+
+def _get_native():
+    """ctypes handle to bp_keccak_f1600 in the native lib (False = keep the
+    Python path: library unavailable, e.g. a fresh checkout without g++)."""
+    global _native
+    if _native is None:
+        try:
+            from ..ops.cpp_backend import get_lib
+            lib = get_lib()
+            lib.bp_keccak_f1600.restype = None
+            _native = lib.bp_keccak_f1600
+        except Exception:
+            _native = False
+    return _native
+
+
 def keccak_f1600(state: bytearray) -> None:
     """In-place keccak-f[1600] on a 200-byte little-endian state."""
     assert len(state) == 200
+    native = _get_native()
+    if native:
+        import ctypes
+        buf = (ctypes.c_uint64 * 25).from_buffer(state)
+        native(buf)
+        return
     # load lanes: A[x][y] = lane at index x + 5y
     lanes = [[int.from_bytes(state[8 * (x + 5 * y):8 * (x + 5 * y) + 8],
                              "little") for y in range(5)] for x in range(5)]

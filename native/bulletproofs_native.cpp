@@ -1740,7 +1740,58 @@ static void msm2_generic(const CurveT<F>& c, const u64* pts_proj,
     msm_impl(c, aff.data(), ks.data(), n, out);
 }
 
+// ---- keccak-f[1600] (merlin/STROBE transcript permutation) ----
+// The transcript layer runs a few dozen permutations per proof; the pure
+// Python loop costs ~0.8 ms each, this ~0.4 us.  Standard implementation
+// from the FIPS-202 spec (replaces merlin's `keccak` crate dependency).
+
+static const u64 KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static inline u64 rotl64(u64 x, int n) {
+    return n ? (x << n) | (x >> (64 - n)) : x;
+}
+
 extern "C" {
+
+// In-place permutation of the 25-lane (200-byte little-endian) state.
+void bp_keccak_f1600(u64* A) {
+    // rotation offsets indexed by lane x + 5y (matches _ROTC[x][y])
+    static const int rotc[25] = {
+        0, 1, 62, 28, 27,
+        36, 44, 6, 55, 20,
+        3, 10, 43, 25, 39,
+        41, 45, 15, 21, 8,
+        18, 2, 61, 56, 14,
+    };
+    u64 B[25], C[5], D[5];
+    for (int round = 0; round < 24; round++) {
+        for (int x = 0; x < 5; x++)
+            C[x] = A[x] ^ A[x + 5] ^ A[x + 10] ^ A[x + 15] ^ A[x + 20];
+        for (int x = 0; x < 5; x++)
+            D[x] = C[(x + 4) % 5] ^ rotl64(C[(x + 1) % 5], 1);
+        for (int y = 0; y < 5; y++)
+            for (int x = 0; x < 5; x++)
+                A[x + 5 * y] ^= D[x];
+        for (int y = 0; y < 5; y++)
+            for (int x = 0; x < 5; x++)
+                B[y + 5 * ((2 * x + 3 * y) % 5)] =
+                    rotl64(A[x + 5 * y], rotc[y * 5 + x]);
+        for (int y = 0; y < 5; y++)
+            for (int x = 0; x < 5; x++)
+                A[x + 5 * y] = B[x + 5 * y] ^
+                    ((~B[(x + 1) % 5 + 5 * y]) & B[(x + 2) % 5 + 5 * y]);
+        A[0] ^= KECCAK_RC[round];
+    }
+}
 
 void bp_msm(const u64* params, const u64* points, const u64* scalars,
             u64 n, u64* out) {
