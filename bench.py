@@ -136,13 +136,17 @@ def main():
             extras["config1_error"] = repr(e)[:200]
 
         mark("config2 aggregated")
-        # ---- BASELINE config #2: m=16 aggregated, DEVICE prover path ----
+        # ---- BASELINE config #2: m=16 aggregated (n=2048) ----
+        # Headline prove = the AUTO policy, which at this size is the
+        # IFMA/GLV native host path (round 3: ~0.98 s vs ~2.1 s on the
+        # device — the ~30 ms/dispatch tunnel RTT x 22 IPA-round calls is a
+        # floor the native path does not pay).  The device-prover number is
+        # recorded separately so the crossover stays measured.
         try:
             from bulletproofs_tpu import (Prover, Verifier, backend as
                                           backend_mod)
             from bulletproofs_tpu.transcript import ProofTranscript
             from bulletproofs_tpu.utils import get_generators
-            backend_mod.set_backend("jax")
             m, bits = 16, 64
             G2 = get_generators("G", 2048)
             H2 = get_generators("H", 2048)
@@ -159,8 +163,8 @@ def main():
                 proof = p.prove(G2, H2)
                 return proof, comms, time.time() - t0
 
-            proof2, comms2, warm = prove_once(1)     # compile warmup
-            extras["agg_m16_prove_first_s"] = round(warm, 2)
+            backend_mod.set_backend("auto")
+            proof2, comms2, warm = prove_once(1)     # warmup
             p_times = []
             for seed in (2, 3, 4):
                 proof2, comms2, tp = prove_once(seed)
@@ -168,6 +172,16 @@ def main():
             extras["agg_m16_prove_s_p50"] = round(sorted(p_times)[1], 3)
             extras["agg_m16_proofs_per_s"] = round(
                 m / sorted(p_times)[1], 2)
+
+            # device-prover path for the record (explicit jax backend)
+            backend_mod.set_backend("jax")
+            _, _, warm = prove_once(1)               # compile warmup
+            extras["agg_m16_prove_first_s"] = round(warm, 2)
+            d_times = []
+            for seed in (2, 3, 4):
+                _, _, tp = prove_once(seed)
+                d_times.append(tp)
+            extras["agg_m16_prove_device_s_p50"] = round(sorted(d_times)[1], 3)
 
             # verify under the AUTO policy: at n=2048 that is the native
             # C++ path (device verify gates at BP_VERIFIER_DEVICE_MIN —

@@ -92,6 +92,9 @@ from functools import partial
 
 # Minimum padded circuit size for the device prover path.
 DEVICE_PROVER_MIN_N = int(os.environ.get("BP_PROVER_DEVICE_MIN", "256"))
+# auto-policy crossover to the device prover (explicit jax mode ignores it)
+DEVICE_PROVER_AUTO_MIN = int(
+    os.environ.get("BP_PROVER_DEVICE_AUTO_MIN", "16384"))
 
 
 # ---------------------------------------------------------------------------
@@ -476,17 +479,20 @@ def device_prove_available(n_hint):
 
     - explicit jax backend: on for n >= BP_PROVER_DEVICE_MIN
     - auto: on when REAL accelerator hardware is present and the circuit is
-      big enough that the device path beats the native host path even below
-      the generic per-op device threshold (measured on v5e: config #2
-      n=2048 proves ~4s on device vs 6.9s native C++ — the prover amortizes
-      conversions/compiles across its ~25 MSMs, single ops don't)."""
+      big enough that the device path beats the native host path.  The
+      crossover moved UP in round 3: the IFMA/GLV native layer proves
+      config #2 (n=2048) in ~0.98 s vs ~2.1 s on the v5e device path (the
+      ~30 ms/dispatch tunnel latency x 2 calls x log2(n) IPA rounds is a
+      protocol-inherent floor the native path does not pay), so auto now
+      defers to the device only at BP_PROVER_DEVICE_AUTO_MIN (default
+      16384, where per-round MSM compute dominates latency)."""
     from .. import backend as backend_mod
     if n_hint < DEVICE_PROVER_MIN_N:
         return False
     be = backend_mod.get_backend(2 * n_hint + 1)
     if getattr(be, "name", "") == "jax":
         return True
-    if backend_mod._mode == "auto" and n_hint >= 1024:
+    if backend_mod._mode == "auto" and n_hint >= DEVICE_PROVER_AUTO_MIN:
         if backend_mod._lazy_jax() is None:
             return False
         import jax
