@@ -55,6 +55,14 @@ def create_ipp(transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec,
             transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec)
         return InnerProductArgumentProof(L=L_vec, R=R_vec, a=a_fin, b=b_fin)
 
+    # native-resident fast path: round state stays in native buffers, only
+    # L/R cross per round for the transcript (proofs byte-identical)
+    if n >= 2 and getattr(get_backend(n), "name", "") == "cpp":
+        from .ops.cpp_backend import create_ipp_rounds
+        L_vec, R_vec, a_fin, b_fin = create_ipp_rounds(
+            transcript, Q, G_factors, H_factors, G_vec, H_vec, a_vec, b_vec)
+        return InnerProductArgumentProof(L=L_vec, R=R_vec, a=a_fin, b=b_fin)
+
     G, H = list(G_vec), list(H_vec)
     a, b = list(a_vec), list(b_vec)
 

@@ -48,7 +48,8 @@ def get_lib():
         for fn in ("bp_msm", "bp_msm2", "bp_fold", "bp_fold2",
                    "bp_scalar_mul_batch",
                    "bp_add_batch", "bp_combine_rowcol",
-                   "bp_combine_totals"):
+                   "bp_combine_totals", "bp_ipp_round_lr",
+                   "bp_ipp_round_fold"):
             getattr(_lib, fn).restype = None
     return _lib
 
@@ -113,6 +114,12 @@ class _CurveABI:
         params += _limbs64(mont(cv.a * cv.a), MAXL)
         params += _limbs64(mont(3 * cv.b), MAXL)
         self.params = np.array(params, dtype=np.uint64)
+        # scalar-field (mod r) Montgomery context for the native IPA loop
+        rr = 1 << (64 * self.Lr)
+        rparams = [self.Lr, (-pow(cv.r, -1, 1 << 64)) % (1 << 64)]
+        rparams += _limbs64(cv.r, MAXL)
+        rparams += _limbs64((rr * rr) % cv.r, MAXL)
+        self.rparams = np.array(rparams, dtype=np.uint64)
         return self
 
     # ---- converters (int.to_bytes/from_bytes run at C speed) ----
@@ -205,6 +212,67 @@ class _CurveABI:
 
 def _ptr(arr):
     return arr.ctypes.data_as(_u64p)
+
+
+def create_ipp_rounds(transcript, Q, G_factors, H_factors, G_vec, H_vec,
+                      a_vec, b_vec):
+    """Native-resident IPA round loop (`/root/reference/src/ipp.rs:66-194`).
+
+    The round state — G/H bases as ABI point buffers, a/b as plain LE
+    scalar limbs — lives in numpy buffers across all log2(n) rounds
+    (bp_ipp_round_lr computes c_L/c_R and the two L/R MSMs, bp_ipp_round_fold
+    halves everything in place); only the two L/R points cross to Python per
+    round for the Fiat-Shamir transcript.  Same formulas and primitives as
+    the generic loop in ipp.create_ipp, so proofs are byte-identical.
+    Returns (L_vec, R_vec, a_final, b_final)."""
+    n = len(G_vec)
+    cv = G_vec[0].cv
+    abi = _CurveABI(cv)
+    lib = get_lib()
+    r = cv.r
+    Lr = abi.Lr
+    Gbuf = abi.points_to_buf(G_vec).copy()
+    Hbuf = abi.points_to_buf(H_vec).copy()
+    abuf = abi.scalars_to_buf(a_vec).copy()
+    bbuf = abi.scalars_to_buf(b_vec).copy()
+    Qbuf = abi.points_to_buf([Q])
+    gfac = abi.scalars_to_buf(G_factors)
+    hfac = abi.scalars_to_buf(H_factors)
+    glv = abi.glv_block()
+    outLR = np.zeros(2 * 3 * abi.Lp, dtype=np.uint64)
+    ubuf = np.zeros(Lr, dtype=np.uint64)
+    uibuf = np.zeros(Lr, dtype=np.uint64)
+
+    transcript.innerproduct_domain_sep(n)
+    L_vec, R_vec = [], []
+    first = True
+    while n != 1:
+        lib.bp_ipp_round_lr(_ptr(abi.params), _ptr(abi.rparams), _ptr(glv),
+                            _ptr(Gbuf), _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                            _ptr(gfac) if first else None,
+                            _ptr(hfac) if first else None,
+                            _ptr(Qbuf), ctypes.c_uint64(n), _ptr(outLR))
+        L, R = abi.buf_to_points(outLR, 2)
+        transcript.commit_point(b"L", L)
+        transcript.commit_point(b"R", R)
+        L_vec.append(L)
+        R_vec.append(R)
+        u = transcript.challenge_scalar(b"u")
+        u_inv = pow(u.v, -1, r)
+        ubuf[:] = np.frombuffer(u.v.to_bytes(Lr * 8, "little"),
+                                dtype=np.uint64)
+        uibuf[:] = np.frombuffer(u_inv.to_bytes(Lr * 8, "little"),
+                                 dtype=np.uint64)
+        lib.bp_ipp_round_fold(_ptr(abi.params), _ptr(abi.rparams), _ptr(glv),
+                              _ptr(Gbuf), _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                              _ptr(gfac) if first else None,
+                              _ptr(hfac) if first else None,
+                              _ptr(ubuf), _ptr(uibuf), ctypes.c_uint64(n))
+        first = False
+        n //= 2
+    a0 = int.from_bytes(np.ascontiguousarray(abuf[:Lr]).tobytes(), "little")
+    b0 = int.from_bytes(np.ascontiguousarray(bbuf[:Lr]).tobytes(), "little")
+    return L_vec, R_vec, Scalar(a0, cv), Scalar(b0, cv)
 
 
 class CppBackend:

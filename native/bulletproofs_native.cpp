@@ -1740,6 +1740,19 @@ static void msm2_generic(const CurveT<F>& c, const u64* pts_proj,
     msm_impl(c, aff.data(), ks.data(), n, out);
 }
 
+// Scalar-field (mod r) Montgomery context for the native IPA round loop.
+// rparams: [Lr, n0inv_r, rmod[8], rr2[8]] = 18 u64 (built in cpp_backend).
+static Field load_rfield(const u64* p) {
+    Field f;
+    memset(&f, 0, sizeof(f));
+    f.L = (int)p[0];
+    f.L64 = f.L;
+    f.n0inv = p[1];
+    memcpy(f.mod, p + 2, 8 * sizeof(u64));
+    memcpy(f.r2, p + 10, 8 * sizeof(u64));
+    return f;
+}
+
 // ---- keccak-f[1600] (merlin/STROBE transcript permutation) ----
 // The transcript layer runs a few dozen permutations per proof; the pure
 // Python loop costs ~0.8 ms each, this ~0.4 us.  Standard implementation
@@ -1885,6 +1898,129 @@ void bp_fold2(const u64* params, const u64* glv_params, const u64* PL,
     } else {
         fold_impl(c, PL, PR, s1, s2, n, out);
     }
+}
+
+// ---------------------------------------------------------------------------
+// Native-resident IPA round loop (`/root/reference/src/ipp.rs:66-194`).
+// The round state (G, H bases as ABI point buffers; a, b as plain LE scalar
+// limbs) stays in caller-owned numpy buffers across rounds — no Python<->
+// native marshalling per round, only the two L/R points cross for the
+// Fiat-Shamir transcript.  Scalar arithmetic runs in a mod-r Montgomery
+// context: with one operand pre-converted (x*R), mont_mul(x*R, y) = x*y
+// plain — so plain-form vectors fold with one multiply per product.
+// ---------------------------------------------------------------------------
+
+// Phase A: c_L/c_R inner products + the two (n/2*2+1)-point L/R MSMs.
+// gfac/hfac non-null on the first round (per-element basis factors,
+// ipp.rs:68-136).  outLR receives L then R (2 ABI points).
+void bp_ipp_round_lr(const u64* params, const u64* rparams, const u64* glv,
+                     const u64* G, const u64* H, const u64* a, const u64* b,
+                     const u64* gfac, const u64* hfac, const u64* Q,
+                     u64 n, u64* outLR) {
+    CurveT<Field> c = load_curve(params);
+    Field fr = load_rfield(rparams);
+    const int L = c.fp.L64, Lr = fr.L;
+    const u64 n2 = n / 2;
+    u64 cl[MAXL] = {0}, cr[MAXL] = {0}, tm[MAXL], tp[MAXL];
+    for (u64 i = 0; i < n2; i++) {
+        fr.mont_mul(b + (n2 + i) * Lr, fr.r2, tm);       // b_R -> mont
+        fr.mont_mul(tm, a + i * Lr, tp);                 // a_L*b_R plain
+        fr.add(cl, tp, cl);
+        fr.mont_mul(b + i * Lr, fr.r2, tm);              // b_L -> mont
+        fr.mont_mul(tm, a + (n2 + i) * Lr, tp);          // a_R*b_L plain
+        fr.add(cr, tp, cr);
+    }
+    std::vector<u64> pts((n + 1) * 3 * L);
+    std::vector<u64> sc((n + 1) * Lr, 0);
+    // L = <a_L(*GfR), G_R> + <b_R(*HfL), H_L> + c_L*Q
+    memcpy(pts.data(), G + n2 * 3 * L, n2 * 3 * L * sizeof(u64));
+    memcpy(pts.data() + n2 * 3 * L, H, n2 * 3 * L * sizeof(u64));
+    memcpy(pts.data() + (u64)n * 3 * L, Q, 3 * L * sizeof(u64));
+    for (u64 i = 0; i < n2; i++) {
+        if (gfac) {
+            fr.mont_mul(gfac + (n2 + i) * Lr, fr.r2, tm);
+            fr.mont_mul(tm, a + i * Lr, sc.data() + i * Lr);
+            fr.mont_mul(hfac + i * Lr, fr.r2, tm);
+            fr.mont_mul(tm, b + (n2 + i) * Lr, sc.data() + (n2 + i) * Lr);
+        } else {
+            memcpy(sc.data() + i * Lr, a + i * Lr, Lr * sizeof(u64));
+            memcpy(sc.data() + (n2 + i) * Lr, b + (n2 + i) * Lr,
+                   Lr * sizeof(u64));
+        }
+    }
+    memcpy(sc.data() + (u64)n * Lr, cl, Lr * sizeof(u64));
+    bp_msm2(params, glv, pts.data(), sc.data(), n + 1, outLR);
+    // R = <a_R(*GfL), G_L> + <b_L(*HfR), H_R> + c_R*Q
+    memcpy(pts.data(), G, n2 * 3 * L * sizeof(u64));
+    memcpy(pts.data() + n2 * 3 * L, H + n2 * 3 * L, n2 * 3 * L * sizeof(u64));
+    for (u64 i = 0; i < n2; i++) {
+        if (gfac) {
+            fr.mont_mul(gfac + i * Lr, fr.r2, tm);
+            fr.mont_mul(tm, a + (n2 + i) * Lr, sc.data() + i * Lr);
+            fr.mont_mul(hfac + (n2 + i) * Lr, fr.r2, tm);
+            fr.mont_mul(tm, b + i * Lr, sc.data() + (n2 + i) * Lr);
+        } else {
+            memcpy(sc.data() + i * Lr, a + (n2 + i) * Lr, Lr * sizeof(u64));
+            memcpy(sc.data() + (n2 + i) * Lr, b + i * Lr, Lr * sizeof(u64));
+        }
+    }
+    memcpy(sc.data() + (u64)n * Lr, cr, Lr * sizeof(u64));
+    bp_msm2(params, glv, pts.data(), sc.data(), n + 1, outLR + 3 * L);
+}
+
+// Phase B: fold a, b (scalar halves) and G, H (base halves) in place after
+// the challenge u; the front halves of all four buffers hold the new round
+// state.  gfac/hfac non-null on the first round.
+void bp_ipp_round_fold(const u64* params, const u64* rparams, const u64* glv,
+                       u64* G, u64* H, u64* a, u64* b, const u64* gfac,
+                       const u64* hfac, const u64* u, const u64* u_inv,
+                       u64 n) {
+    CurveT<Field> c = load_curve(params);
+    Field fr = load_rfield(rparams);
+    const int L = c.fp.L64, Lr = fr.L;
+    const u64 n2 = n / 2;
+    u64 um[MAXL], uim[MAXL], t1[MAXL], t2[MAXL], tm[MAXL];
+    fr.mont_mul(u, fr.r2, um);
+    fr.mont_mul(u_inv, fr.r2, uim);
+    // a' = u*a_L + u_inv*a_R ; b' = u_inv*b_L + u*b_R   (ipp.rs:115-118)
+    for (u64 i = 0; i < n2; i++) {
+        fr.mont_mul(um, a + i * Lr, t1);
+        fr.mont_mul(uim, a + (n2 + i) * Lr, t2);
+        fr.add(t1, t2, a + i * Lr);
+        fr.mont_mul(uim, b + i * Lr, t1);
+        fr.mont_mul(um, b + (n2 + i) * Lr, t2);
+        fr.add(t1, t2, b + i * Lr);
+    }
+    // G' = (u_inv*GfL_i)*G_L + (u*GfR_i)*G_R ; H' mirrored (ipp.rs:119-130)
+    std::vector<u64> s1(n2 * Lr), s2(n2 * Lr);
+    if (gfac) {
+        for (u64 i = 0; i < n2; i++) {
+            fr.mont_mul(gfac + i * Lr, fr.r2, tm);
+            fr.mont_mul(tm, u_inv, s1.data() + i * Lr);
+            fr.mont_mul(gfac + (n2 + i) * Lr, fr.r2, tm);
+            fr.mont_mul(tm, u, s2.data() + i * Lr);
+        }
+    } else {
+        for (u64 i = 0; i < n2; i++) {
+            memcpy(s1.data() + i * Lr, u_inv, Lr * sizeof(u64));
+            memcpy(s2.data() + i * Lr, u, Lr * sizeof(u64));
+        }
+    }
+    bp_fold2(params, glv, G, G + n2 * 3 * L, s1.data(), s2.data(), n2, G);
+    if (gfac) {
+        for (u64 i = 0; i < n2; i++) {
+            fr.mont_mul(hfac + i * Lr, fr.r2, tm);
+            fr.mont_mul(tm, u, s1.data() + i * Lr);
+            fr.mont_mul(hfac + (n2 + i) * Lr, fr.r2, tm);
+            fr.mont_mul(tm, u_inv, s2.data() + i * Lr);
+        }
+    } else {
+        for (u64 i = 0; i < n2; i++) {
+            memcpy(s1.data() + i * Lr, u, Lr * sizeof(u64));
+            memcpy(s2.data() + i * Lr, u_inv, Lr * sizeof(u64));
+        }
+    }
+    bp_fold2(params, glv, H, H + n2 * 3 * L, s1.data(), s2.data(), n2, H);
 }
 
 void bp_scalar_mul_batch(const u64* params, const u64* P, const u64* k,
