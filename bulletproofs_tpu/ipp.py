@@ -141,12 +141,16 @@ def verification_scalars(L_vec, R_vec, n, transcript):
     challenges_inv_sq = [c.square() for c in challenges_inv]
 
     # s built inductively: s[0] = prod(u_i^-1); s[i] = s[i - 2^lg(i)] * u_{lg(i)+1}^2
-    s = [product_chal_inv]
+    # (raw-int inner loop: n modmuls dominate verification's Python time)
+    r = product_chal_inv.cv.r
+    sq_int = [c.v for c in challenges_sq]
+    s_int = [product_chal_inv.v]
+    append = s_int.append
     for i in range(1, n):
         lg_i = i.bit_length() - 1
-        k = 1 << lg_i
-        u_lg_i_sq = challenges_sq[(lg_n - 1) - lg_i]
-        s.append(s[i - k] * u_lg_i_sq)
+        append(s_int[i - (1 << lg_i)] * sq_int[(lg_n - 1) - lg_i] % r)
+    cv = product_chal_inv.cv
+    s = [Scalar._new(v, cv) for v in s_int]
 
     return challenges_sq, challenges_inv_sq, s
 

@@ -9,7 +9,7 @@ accelerates.
 
 from .. import ipp as ipp_mod
 from ..backend import get_backend
-from ..ops.field_host import Scalar, inner_product, vandermonde_vector
+from ..ops.field_host import Scalar
 from ..utils.errors import (InvalidGeneratorsLength, VerificationError)
 from .constraint_system import ConstraintSystem, RandomizedConstraintSystem
 from .linear_combination import (COMMITTED, MULT_LEFT, MULT_OUTPUT, MULT_RIGHT,
@@ -183,30 +183,41 @@ class Verifier(ConstraintSystem):
         a = proof.ipp_proof.a
         b = proof.ipp_proof.b
 
-        y_inv = y.inverse()
-        y_inv_vec = vandermonde_vector(y_inv, padded_n)
-        zero = Scalar.zero()
-        y_inv_wR = [wRi * yi for wRi, yi in zip(wR, y_inv_vec)] \
-            + [zero] * pad
+        # raw-int assembly: ~9n modmuls dominate the verifier's Python time
+        # at protocol sizes (the mega-MSM itself is one native call)
+        r = y.cv.r
+        y_inv_int = pow(y.v, -1, r)
+        y_inv_vec_int = [1] * padded_n
+        for i in range(1, padded_n):
+            y_inv_vec_int[i] = y_inv_vec_int[i - 1] * y_inv_int % r
+        wR_int = [wi.v for wi in wR]
+        y_inv_wR_int = [wRi * yi % r
+                        for wRi, yi in zip(wR_int, y_inv_vec_int)] \
+            + [0] * pad
+        wL_int = [wi.v for wi in wL]
 
-        delta = inner_product(y_inv_wR[:n], wL)
+        delta = Scalar(sum(ai * bi for ai, bi in
+                           zip(y_inv_wR_int[:n], wL_int)) % r)
 
         u_sq, u_inv_sq, s = ipp_mod.verification_scalars(
             proof.ipp_proof.L, proof.ipp_proof.R, padded_n, tr)
 
-        one = Scalar.one()
-        u_pad = [one] * n1 + [u] * (n2 + pad)
+        xi, ui, ai, bi_ = x.v, u.v, a.v, b.v
+        s_int = [si.v for si in s]
+        g_scalars = [
+            (xi * ywr - ai * s_i) % r if i < n1
+            else ui * (xi * ywr - ai * s_i) % r
+            for i, (ywr, s_i) in enumerate(zip(y_inv_wR_int, s_int))]
 
-        g_scalars = [u_or_1 * (x * ywr - a * s_i)
-                     for ywr, u_or_1, s_i in zip(y_inv_wR, u_pad, s)]
-
-        s_rev = list(reversed(s))
-        wL_pad = wL + [zero] * pad
-        wO_pad = wO + [zero] * pad
+        s_rev = s_int[::-1]
+        wO_int = [wi.v for wi in wO]
+        wL_pad = wL_int + [0] * pad
+        wO_pad = wO_int + [0] * pad
         h_scalars = [
-            u_or_1 * (y_inv_i * (x * wLi + wOi - b * s_i_inv) - one)
-            for y_inv_i, u_or_1, s_i_inv, wLi, wOi in
-            zip(y_inv_vec, u_pad, s_rev, wL_pad, wO_pad)
+            (yii * (xi * wLi + wOi - bi_ * s_i_inv) - 1) % r if i < n1
+            else ui * (yii * (xi * wLi + wOi - bi_ * s_i_inv) - 1) % r
+            for i, (yii, s_i_inv, wLi, wOi) in
+            enumerate(zip(y_inv_vec_int, s_rev, wL_pad, wO_pad))
         ]
 
         # random batching scalar folds the t-check into the same MSM
