@@ -1523,6 +1523,11 @@ static void fold_impl8_glv(const CurveT<Field52>& c, const GlvCtx& g,
 // 3 cache lines; digit sign selects Y vs nY at schedule time).
 struct AffM { u64 X[MAXL], Y[MAXL], nY[MAXL]; };
 
+BP_TGT
+static void msm_combine_windows8(const CurveT<Field52>& c,
+                                 const Pt* buckets, int nwin, int cbits,
+                                 u64 H, u64* out);
+
 // Signed-digit 8-way IFMA Pippenger core: buckets 1..2^(c-1) per window
 // (index = |digit|, negative digits schedule (X, nY)); phase B runs the
 // weighted bucket sums over a window count padded to a multiple of 8 so
@@ -1594,7 +1599,19 @@ static void msm_ifma8_signed(const CurveT<Field52>& c, const AffM* pts,
         flush();
     }
 
-    // phase B: weighted bucket sums, 8 (padded) windows side by side
+    msm_combine_windows8(c, buckets.data(), nwin, cbits, H, out);
+}
+
+// phase B shared by the projective and batch-affine bucket passes:
+// weighted bucket sums 8 (padded) windows side by side, then the serial
+// Horner window combine.  buckets laid out nwin8 x (H+1) projective.
+BP_TGT
+static void msm_combine_windows8(const CurveT<Field52>& c,
+                                 const Pt* buckets, int nwin, int cbits,
+                                 u64 H, u64* out) {
+    F52x8 fx; fx.init(c.fp);
+    const int K = c.fp.L;
+    const int nwin8 = (nwin + 7) & ~7;
     std::vector<Pt> totals(nwin8);
     for (int w0 = 0; w0 < nwin8; w0 += 8) {
         Pt run[8];
@@ -1638,6 +1655,283 @@ static void msm_ifma8_signed(const CurveT<Field52>& c, const AffM* pts,
         pt_add(c, total, totals[w], total);
     }
     store_pt(c, total, out);
+}
+
+// Montgomery-form modular inverse via Fermat (x^(p-2)); one per batch of
+// ~BATCH affine bucket adds, so the ~2L*52-step ladder is amortized to
+// ~2 muls/add.
+static void f52_mont_inv(const Field52& f, const u64* one_m, const u64* x,
+                         u64* out) {
+    u64 e[MAXL];                                // p - 2, 52-bit limbs
+    u64 borrow = 2;
+    for (int j = 0; j < f.L; j++) {
+        u64 s = f.mod[j] - borrow;
+        borrow = (s >> 63) & 1;
+        e[j] = s & M52;
+    }
+    int top = f.L * 52 - 1;
+    while (top > 0 && !((e[top / 52] >> (top % 52)) & 1)) top--;
+    u64 acc[MAXL];
+    memcpy(acc, one_m, MAXL * sizeof(u64));
+    for (int b = top; b >= 0; b--) {
+        f.mont_mul(acc, acc, acc);
+        if ((e[b / 52] >> (b % 52)) & 1) f.mont_mul(acc, x, acc);
+    }
+    memcpy(out, acc, MAXL * sizeof(u64));
+}
+
+// Batch-affine signed-digit bucket pass (phase A): buckets live as AFFINE
+// points; each batch of up to BATCH conflict-free pending adds shares ONE
+// modular inversion (Montgomery's trick), and the affine add/double
+// formulas (3 muls) replace the 11-mul projective mixed adds.  Inserts
+// that hit a bucket already pending in the current batch are deferred to
+// the next batch (never dropped).  Produces the same group elements as the
+// projective pass; gate BP_MSM_AFFINE=0 reverts.
+BP_TGT
+static void msm_ifma8_signed_affine(const CurveT<Field52>& c,
+                                    const AffM* pts, const int16_t* dig,
+                                    u64 n_eff, int nwin, int cbits,
+                                    u64* out) {
+    F52x8 fx; fx.init(c.fp);
+    const int K = c.fp.L;
+    const u64 H = (u64)1 << (cbits - 1);
+    const int nwin8 = (nwin + 7) & ~7;
+    const int BATCH = 256;
+
+    std::vector<PtAff> baff(H + 1);             // per-window affine buckets
+    std::vector<uint8_t> occ(H + 1), pend(H + 1);
+    std::vector<Pt> buckets((u64)nwin8 * (H + 1));
+    for (auto& b : buckets) pt_identity(c, b);
+
+    // batch queue (adds into occupied buckets only)
+    std::vector<uint32_t> qb(BATCH);            // bucket index
+    std::vector<const u64*> qpx(BATCH), qpy(BATCH);
+    std::vector<u64> den(BATCH * MAXL), pre(BATCH * MAXL);
+    std::vector<u64> invden(BATCH * MAXL);
+    std::vector<u64> nx(BATCH * MAXL);
+    std::vector<uint8_t> kind(BATCH);           // 0 add, 1 double, 2 cancel
+    std::vector<std::pair<uint32_t, uint32_t>> deferred;
+    int pn = 0;
+
+    auto flush = [&]() {
+        if (!pn) return;
+        const int pn8 = (pn + 7) & ~7;
+        // classify (canonical Montgomery compares), then denominators and
+        // numerators 8-way (common all-adds groups), 1-way fixups for the
+        // rare double/cancel entries
+        for (int j = 0; j < pn; j++) {
+            const PtAff& B = baff[qb[j]];
+            if (memcmp(B.X, qpx[j], K * sizeof(u64)) == 0)
+                kind[j] = memcmp(B.Y, qpy[j], K * sizeof(u64)) == 0 ? 1 : 2;
+            else
+                kind[j] = 0;
+        }
+        for (int j = pn; j < pn8; j++) kind[j] = 3;     // padding
+        for (int j0 = 0; j0 < pn; j0 += 8) {
+            const int g = pn - j0 < 8 ? pn - j0 : 8;
+            const u64 *bx8[8], *px8[8], *by8[8], *py8[8];
+            for (int l = 0; l < g; l++) {
+                const PtAff& B = baff[qb[j0 + l]];
+                bx8[l] = B.X; by8[l] = B.Y;
+                px8[l] = qpx[j0 + l]; py8[l] = qpy[j0 + l];
+            }
+            for (int l = g; l < 8; l++) {
+                bx8[l] = bx8[0]; by8[l] = by8[0];
+                px8[l] = px8[0]; py8[l] = py8[0];
+            }
+            Vec8 BX, PX, BY, PY, D8, N8;
+            gather8(bx8, BX, K); gather8(px8, PX, K);
+            gather8(by8, BY, K); gather8(py8, PY, K);
+            fx.sub(PX, BX, D8);                 // den = x2 - x1
+            fx.sub(PY, BY, N8);                 // num = y2 - y1
+            u64 *dp[8], *np[8];
+            for (int l = 0; l < 8; l++) {
+                dp[l] = &den[(j0 + l) * MAXL];
+                np[l] = &nx[(j0 + l) * MAXL];
+            }
+            scatter8(D8, dp, K); scatter8(N8, np, K);
+            for (int l = 0; l < g; l++) {       // rare fixups
+                const int j = j0 + l;
+                if (kind[j] == 1) {             // double: den=2y, num=3x^2
+                    const PtAff& B = baff[qb[j]];
+                    c.fp.add(B.Y, B.Y, &den[j * MAXL]);
+                    u64 xx[MAXL], xx2[MAXL];
+                    c.fp.mont_mul(B.X, B.X, xx);
+                    c.fp.add(xx, xx, xx2);
+                    c.fp.add(xx2, xx, &nx[j * MAXL]);
+                } else if (kind[j] == 2) {      // cancel: placeholder 1
+                    memcpy(&den[j * MAXL], c.one_m, MAXL * sizeof(u64));
+                    memcpy(&nx[j * MAXL], c.one_m, MAXL * sizeof(u64));
+                }
+            }
+        }
+        for (int j = pn; j < pn8; j++)          // multiplicative padding
+            memcpy(&den[j * MAXL], c.one_m, MAXL * sizeof(u64));
+        // batch inversion over 8 INTERLEAVED prefix chains (chain l covers
+        // j = l, l+8, ...), so the serial mont_mul chains run 8-wide; the
+        // 8 chain tails share one Fermat inversion
+        {
+            const u64 *s8[8];
+            u64 *d8[8];
+            Vec8 PRE, D8;
+            for (int l = 0; l < 8; l++) s8[l] = &den[l * MAXL];
+            gather8(s8, PRE, K);
+            for (int l = 0; l < 8; l++) d8[l] = &pre[l * MAXL];
+            scatter8(PRE, d8, K);
+            for (int j0 = 8; j0 < pn8; j0 += 8) {
+                for (int l = 0; l < 8; l++) s8[l] = &den[(j0 + l) * MAXL];
+                gather8(s8, D8, K);
+                fx.mont_mul(PRE, D8, PRE);
+                for (int l = 0; l < 8; l++) d8[l] = &pre[(j0 + l) * MAXL];
+                scatter8(PRE, d8, K);
+            }
+            // tails: T_l = pre[last group, lane l]; batch-invert the 8
+            u64 tpre[8][MAXL], cinv[8][MAXL], inv[MAXL];
+            const int lastg = pn8 - 8;
+            memcpy(tpre[0], &pre[lastg * MAXL], MAXL * sizeof(u64));
+            for (int l = 1; l < 8; l++)
+                c.fp.mont_mul(tpre[l - 1], &pre[(lastg + l) * MAXL],
+                              tpre[l]);
+            f52_mont_inv(c.fp, c.one_m, tpre[7], inv);
+            for (int l = 7; l >= 1; l--) {
+                c.fp.mont_mul(inv, tpre[l - 1], cinv[l]);
+                c.fp.mont_mul(inv, &pre[(lastg + l) * MAXL], inv);
+            }
+            memcpy(cinv[0], inv, MAXL * sizeof(u64));
+            // backout, 8-way down the chains:
+            // invden[j] = run_l * pre[j-8]; run_l *= den[j]
+            Vec8 RUN;
+            {
+                const u64* c8[8];
+                for (int l = 0; l < 8; l++) c8[l] = cinv[l];
+                gather8(c8, RUN, K);
+            }
+            for (int j0 = pn8 - 8; j0 >= 8; j0 -= 8) {
+                const u64 *p8[8];
+                u64 *o8[8];
+                Vec8 P8v, D8v, IV;
+                for (int l = 0; l < 8; l++)
+                    p8[l] = &pre[(j0 - 8 + l) * MAXL];
+                gather8(p8, P8v, K);
+                fx.mont_mul(RUN, P8v, IV);
+                for (int l = 0; l < 8; l++) o8[l] = &invden[(j0 + l) * MAXL];
+                scatter8(IV, o8, K);
+                for (int l = 0; l < 8; l++) s8[l] = &den[(j0 + l) * MAXL];
+                gather8(s8, D8v, K);
+                fx.mont_mul(RUN, D8v, RUN);
+            }
+            {
+                u64 *o8[8];
+                for (int l = 0; l < 8; l++) o8[l] = &invden[l * MAXL];
+                scatter8(RUN, o8, K);
+            }
+        }
+        // lambda + writeback, 8-way groups
+        for (int j0 = 0; j0 < pn; j0 += 8) {
+            const int g = pn - j0 < 8 ? pn - j0 : 8;
+            const u64 *a8[8], *b8[8];
+            for (int l = 0; l < g; l++) {
+                a8[l] = &nx[(j0 + l) * MAXL];
+                b8[l] = &invden[(j0 + l) * MAXL];
+            }
+            for (int l = g; l < 8; l++) { a8[l] = a8[0]; b8[l] = b8[0]; }
+            Vec8 N8, D8, L8, L2, BX, PX, BY, X3, Y3, T;
+            gather8(a8, N8, K); gather8(b8, D8, K);
+            fx.mont_mul(N8, D8, L8);            // lambda
+            const u64 *bx8[8], *px8[8], *by8[8];
+            for (int l = 0; l < g; l++) {
+                bx8[l] = baff[qb[j0 + l]].X;
+                px8[l] = kind[j0 + l] == 1 ? baff[qb[j0 + l]].X
+                                           : qpx[j0 + l];
+                by8[l] = baff[qb[j0 + l]].Y;
+            }
+            for (int l = g; l < 8; l++) {
+                bx8[l] = bx8[0]; px8[l] = px8[0]; by8[l] = by8[0];
+            }
+            gather8(bx8, BX, K); gather8(px8, PX, K); gather8(by8, BY, K);
+            fx.mont_mul(L8, L8, L2);            // lambda^2
+            fx.sub(L2, BX, X3); fx.sub(X3, PX, X3);
+            fx.sub(BX, X3, T);
+            fx.mont_mul(L8, T, Y3);
+            fx.sub(Y3, BY, Y3);
+            u64 ox[8][MAXL], oy[8][MAXL];
+            u64 *oxp[8], *oyp[8];
+            for (int l = 0; l < 8; l++) { oxp[l] = ox[l]; oyp[l] = oy[l]; }
+            scatter8(X3, oxp, K); scatter8(Y3, oyp, K);
+            for (int l = 0; l < g; l++) {
+                PtAff& B = baff[qb[j0 + l]];
+                if (kind[j0 + l] == 2) {
+                    occ[qb[j0 + l]] = 0;        // cancelled to identity
+                } else {
+                    memcpy(B.X, ox[l], MAXL * sizeof(u64));
+                    memcpy(B.Y, oy[l], MAXL * sizeof(u64));
+                }
+            }
+        }
+        for (int j = 0; j < pn; j++) pend[qb[j]] = 0;
+        pn = 0;
+    };
+
+    auto insert = [&](uint32_t bidx, const u64* px, const u64* py) {
+        if (!occ[bidx] && !pend[bidx]) {
+            PtAff& B = baff[bidx];
+            memcpy(B.X, px, MAXL * sizeof(u64));
+            memcpy(B.Y, py, MAXL * sizeof(u64));
+            occ[bidx] = 1;
+            return true;
+        }
+        if (pend[bidx]) return false;           // defer
+        pend[bidx] = 1;
+        qb[pn] = bidx; qpx[pn] = px; qpy[pn] = py;
+        if (++pn == BATCH) flush();
+        return true;
+    };
+
+    const u64 PF = 24;
+    for (int w = 0; w < nwin; w++) {
+        memset(occ.data(), 0, occ.size());
+        memset(pend.data(), 0, pend.size());
+        deferred.clear();
+        pn = 0;
+        const int16_t* dw = dig + (u64)w * n_eff;
+        for (u64 i = 0; i < n_eff; i++) {
+            if (i + PF < n_eff) {
+                int dpf = dw[i + PF];
+                u64 apf = (u64)(dpf < 0 ? -dpf : dpf);
+                __builtin_prefetch((const char*)(baff.data() + apf), 1);
+                __builtin_prefetch((const char*)&pts[i + PF], 0);
+            }
+            const int d = dw[i];
+            if (!d) continue;
+            const uint32_t bidx = (uint32_t)(d < 0 ? -d : d);
+            const u64* px = pts[i].X;
+            const u64* py = d > 0 ? pts[i].Y : pts[i].nY;
+            if (!insert(bidx, px, py))
+                deferred.emplace_back(bidx, (uint32_t)(2 * i + (d < 0)));
+        }
+        // drain deferred inserts (each flush clears the pending flags)
+        while (!deferred.empty()) {
+            flush();
+            std::vector<std::pair<uint32_t, uint32_t>> still;
+            for (auto& e : deferred) {
+                u64 i = e.second >> 1;
+                const u64* py = (e.second & 1) ? pts[i].nY : pts[i].Y;
+                if (!insert(e.first, pts[i].X, py)) still.push_back(e);
+            }
+            deferred.swap(still);
+        }
+        flush();
+        // export affine buckets to the projective grid for phase B
+        Pt* bw = buckets.data() + (u64)w * (H + 1);
+        for (u64 d2 = 1; d2 <= H; d2++) {
+            if (!occ[d2]) continue;
+            memcpy(bw[d2].X, baff[d2].X, MAXL * sizeof(u64));
+            memcpy(bw[d2].Y, baff[d2].Y, MAXL * sizeof(u64));
+            memcpy(bw[d2].Z, c.one_m, MAXL * sizeof(u64));
+        }
+    }
+
+    msm_combine_windows8(c, buckets.data(), nwin, cbits, H, out);
 }
 
 // IFMA driver: normalize, build (X, Y, p-Y) [+ GLV psi half], split +
@@ -1712,7 +2006,18 @@ static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
         const u64* k = glv ? &S[i * 4] : scalars + i * Lr;
         recode_signed(k, glv ? 4 : Lr, cbits, nwin, dig.data(), n_eff, i);
     }
-    msm_ifma8_signed(c, pts.data(), dig.data(), n_eff, nwin, cbits, out);
+    // BP_MSM_AFFINE=1 opts into the batch-affine bucket pass — measured
+    // SLOWER than the projective mixed-add pass on this host (0.67 vs
+    // 0.47 s at n=16384): the 6-vs-11 mul advantage is eaten by the extra
+    // gather/scatter round-trips between the den/prefix/backout/writeback
+    // passes, while pt_add_mixed8 keeps everything in zmm registers.
+    // Kept (bit-exact, incl. double/cancel paths) for future A/B.
+    const char* aff = getenv("BP_MSM_AFFINE");
+    if (aff && aff[0] == '1')
+        msm_ifma8_signed_affine(c, pts.data(), dig.data(), n_eff, nwin,
+                                cbits, out);
+    else
+        msm_ifma8_signed(c, pts.data(), dig.data(), n_eff, nwin, cbits, out);
 }
 
 #endif  // __x86_64__

@@ -94,3 +94,34 @@ def test_native_ipp_rounds_byte_identical(cname, n, rng):
             backend_mod.set_backend("auto")
         assert pf_native.a == pf_host.a and pf_native.b == pf_host.b
         assert pf_native.L == pf_host.L and pf_native.R == pf_host.R
+
+
+@pytest.mark.parametrize("cname", ["bls381", "secp256k1"])
+def test_batch_affine_msm_matches(cname, rng):
+    """BP_MSM_AFFINE=1 batch-affine bucket pass vs the default projective
+    pass and the host ground truth, including duplicate points (in-bucket
+    doubling), P/-P cancellation, identities and zero scalars.  The affine
+    pass measured slower on this host (see native source) but must stay
+    bit-exact."""
+    import os
+    cpp, host = CppBackend(), HostBackend()
+    with using_curve(CURVES[cname]):
+        n = 200
+        pts = [bp.G1.from_msg_hash(b"ba%d" % i) for i in range(n)]
+        pts[10] = pts[11]
+        pts[12] = -pts[11]
+        pts[13] = bp.G1.identity()
+        ks = [Scalar.random(rng) for _ in range(n)]
+        ks[11] = ks[10]
+        ks[12] = ks[10]
+        ks[14] = Scalar(0)
+        want = host.msm(pts, ks)
+        os.environ["BP_MSM_AFFINE"] = "1"
+        try:
+            assert cpp.msm(pts, ks) == want
+            dup = [pts[0]] * 48
+            kd = [Scalar(i + 1) for i in range(48)]
+            assert cpp.msm(dup, kd) == host.msm(dup, kd)
+        finally:
+            del os.environ["BP_MSM_AFFINE"]
+        assert cpp.msm(pts, ks) == want
