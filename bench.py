@@ -173,6 +173,18 @@ def main():
             extras["agg_m16_proofs_per_s"] = round(
                 m / sorted(p_times)[1], 2)
 
+            # AMCL-class portable-engine baseline for the proofs/s story
+            # (BP_NATIVE_IFMA=0: no IFMA, no GLV — the reference's
+            # arithmetic class; same protocol code)
+            os.environ["BP_NATIVE_IFMA"] = "0"
+            try:
+                prove_once(1)
+                b_times = [prove_once(seed)[2] for seed in (2, 3, 4)]
+                extras["agg_m16_prove_portable_s"] = round(
+                    sorted(b_times)[1], 3)
+            finally:
+                os.environ.pop("BP_NATIVE_IFMA", None)
+
             # device-prover path for the record (explicit jax backend)
             backend_mod.set_backend("jax")
             _, _, warm = prove_once(1)               # compile warmup
