@@ -1427,6 +1427,12 @@ static void recode_signed(const u64* k, int Lr, int cbits, int nwin,
 // bit3:psiB]; the 11 composite entries are built with 8-way adds.  Assumes
 // prime-order-subgroup inputs (same contract as the GLV MSM; the eigenvalue
 // relation lam*P == psi(P) is self-tested in cpp_backend.py::glv_block).
+// NG independent 8-lane groups run INTERLEAVED through the ladder: the two
+// dependent pt_add8 chains per group give the OOO window more to overlap.
+// Saturates at ~100 us/fold from 117 at NG=1: past that the single-port
+// vpmadd52 throughput bound dominates (NG=4 measured equal to NG=2).
+static const int FOLD_NG = 2;
+
 BP_TGT
 static void fold_impl8_glv(const CurveT<Field52>& c, const GlvCtx& g,
                            const u64* PL, const u64* PR,
@@ -1435,83 +1441,104 @@ static void fold_impl8_glv(const CurveT<Field52>& c, const GlvCtx& g,
     const int K = c.fp.L;
     F52x8 fx; fx.init(c.fp);
     u64 i0 = 0;
-    for (; i0 + 8 <= n; i0 += 8) {
-        Pt tab[8][16];
-        u64 ks[8][4][4];          // per lane: a1, b1, a2, b2 (4 limbs each)
-        int bits = 1;
-        for (int l = 0; l < 8; l++) {
-            pt_identity(c, tab[l][0]);
-            load_pt(c, PL + (i0 + l) * 3 * L, tab[l][1]);
-            load_pt(c, PR + (i0 + l) * 3 * L, tab[l][4]);
-            tab[l][2] = tab[l][1];
-            c.fp.mont_mul(tab[l][1].X, g.beta_m, tab[l][2].X);
-            tab[l][8] = tab[l][4];
-            c.fp.mont_mul(tab[l][4].X, g.beta_m, tab[l][8].X);
-            glv_split(g, s1 + (i0 + l) * Lr, Lr, ks[l][0], ks[l][1]);
-            glv_split(g, s2 + (i0 + l) * Lr, Lr, ks[l][2], ks[l][3]);
-            for (int j = 0; j < 4; j++) {
-                int b = scalar_bits(ks[l][j], 4);
-                if (b > bits) bits = b;
+    for (int ng = FOLD_NG; ng >= 1; ng--) {
+        const u64 lanes = (u64)ng * 8;
+        for (; i0 + lanes <= n; i0 += lanes) {
+            Pt tab[FOLD_NG * 8][16];
+            u64 ks[FOLD_NG * 8][4][4];   // per lane: a1, b1, a2, b2
+            int bits = 1;
+            for (u64 l = 0; l < lanes; l++) {
+                pt_identity(c, tab[l][0]);
+                load_pt(c, PL + (i0 + l) * 3 * L, tab[l][1]);
+                load_pt(c, PR + (i0 + l) * 3 * L, tab[l][4]);
+                tab[l][2] = tab[l][1];
+                c.fp.mont_mul(tab[l][1].X, g.beta_m, tab[l][2].X);
+                tab[l][8] = tab[l][4];
+                c.fp.mont_mul(tab[l][4].X, g.beta_m, tab[l][8].X);
+                glv_split(g, s1 + (i0 + l) * Lr, Lr, ks[l][0], ks[l][1]);
+                glv_split(g, s2 + (i0 + l) * Lr, Lr, ks[l][2], ks[l][3]);
+                for (int j = 0; j < 4; j++) {
+                    int b = scalar_bits(ks[l][j], 4);
+                    if (b > bits) bits = b;
+                }
             }
-        }
-        for (int e = 3; e < 16; e++) {         // composite entries, 8-way
-            if ((e & (e - 1)) == 0) continue;
-            const int lo = e & (-e), rest = e - lo;
-            const u64 *ax[8], *ay[8], *az[8], *bx[8], *by[8], *bz[8];
-            u64 *ox[8], *oy[8], *oz[8];
-            for (int l = 0; l < 8; l++) {
-                ax[l] = tab[l][rest].X; ay[l] = tab[l][rest].Y;
-                az[l] = tab[l][rest].Z;
-                bx[l] = tab[l][lo].X; by[l] = tab[l][lo].Y;
-                bz[l] = tab[l][lo].Z;
-                ox[l] = tab[l][e].X; oy[l] = tab[l][e].Y;
-                oz[l] = tab[l][e].Z;
+            for (int e = 3; e < 16; e++) {     // composite entries, 8-way
+                if ((e & (e - 1)) == 0) continue;
+                const int lo = e & (-e), rest = e - lo;
+                Pt8 A8[FOLD_NG], B8[FOLD_NG];
+                u64* ox[FOLD_NG][8]; u64* oy[FOLD_NG][8];
+                u64* oz[FOLD_NG][8];
+                for (int gr = 0; gr < ng; gr++) {
+                    const u64 *ax[8], *ay[8], *az[8];
+                    const u64 *bx[8], *by[8], *bz[8];
+                    for (int l = 0; l < 8; l++) {
+                        Pt* tl = tab[gr * 8 + l];
+                        ax[l] = tl[rest].X; ay[l] = tl[rest].Y;
+                        az[l] = tl[rest].Z;
+                        bx[l] = tl[lo].X; by[l] = tl[lo].Y;
+                        bz[l] = tl[lo].Z;
+                        ox[gr][l] = tl[e].X; oy[gr][l] = tl[e].Y;
+                        oz[gr][l] = tl[e].Z;
+                    }
+                    gather8(ax, A8[gr].X, K); gather8(ay, A8[gr].Y, K);
+                    gather8(az, A8[gr].Z, K);
+                    gather8(bx, B8[gr].X, K); gather8(by, B8[gr].Y, K);
+                    gather8(bz, B8[gr].Z, K);
+                }
+                for (int gr = 0; gr < ng; gr++)
+                    pt_add8(fx, c.b3, A8[gr], B8[gr], A8[gr]);
+                for (int gr = 0; gr < ng; gr++) {
+                    scatter8(A8[gr].X, ox[gr], K);
+                    scatter8(A8[gr].Y, oy[gr], K);
+                    scatter8(A8[gr].Z, oz[gr], K);
+                }
             }
-            Pt8 A8, B8;
-            gather8(ax, A8.X, K); gather8(ay, A8.Y, K); gather8(az, A8.Z, K);
-            gather8(bx, B8.X, K); gather8(by, B8.Y, K); gather8(bz, B8.Z, K);
-            pt_add8(fx, c.b3, A8, B8, A8);
-            scatter8(A8.X, ox, K); scatter8(A8.Y, oy, K);
-            scatter8(A8.Z, oz, K);
-        }
-        Pt8 ACC;
-        {
-            Pt id8[8];
-            const u64* px[8]; const u64* py[8]; const u64* pz[8];
-            for (int l = 0; l < 8; l++) {
-                pt_identity(c, id8[l]);
-                px[l] = id8[l].X; py[l] = id8[l].Y; pz[l] = id8[l].Z;
+            Pt8 ACC[FOLD_NG];
+            {
+                Pt id;
+                pt_identity(c, id);
+                const u64* px[8]; const u64* py[8]; const u64* pz[8];
+                for (int l = 0; l < 8; l++) {
+                    px[l] = id.X; py[l] = id.Y; pz[l] = id.Z;
+                }
+                gather8(px, ACC[0].X, K); gather8(py, ACC[0].Y, K);
+                gather8(pz, ACC[0].Z, K);
+                for (int gr = 1; gr < ng; gr++) ACC[gr] = ACC[0];
             }
-            gather8(px, ACC.X, K); gather8(py, ACC.Y, K);
-            gather8(pz, ACC.Z, K);
-        }
-        for (int bi = bits - 1; bi >= 0; bi--) {
-            pt_add8(fx, c.b3, ACC, ACC, ACC);          // shared doubling
-            const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
-            for (int l = 0; l < 8; l++) {
-                int sel = scalar_bit(ks[l][0], 4, bi)
-                        | (scalar_bit(ks[l][1], 4, bi) << 1)
-                        | (scalar_bit(ks[l][2], 4, bi) << 2)
-                        | (scalar_bit(ks[l][3], 4, bi) << 3);
-                qx[l] = tab[l][sel].X;
-                qy[l] = tab[l][sel].Y;
-                qz[l] = tab[l][sel].Z;
+            for (int bi = bits - 1; bi >= 0; bi--) {
+                for (int gr = 0; gr < ng; gr++)        // shared doublings
+                    pt_add8(fx, c.b3, ACC[gr], ACC[gr], ACC[gr]);
+                Pt8 Q[FOLD_NG];
+                for (int gr = 0; gr < ng; gr++) {
+                    const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
+                    for (int l = 0; l < 8; l++) {
+                        const u64 gl = (u64)gr * 8 + l;
+                        int sel = scalar_bit(ks[gl][0], 4, bi)
+                                | (scalar_bit(ks[gl][1], 4, bi) << 1)
+                                | (scalar_bit(ks[gl][2], 4, bi) << 2)
+                                | (scalar_bit(ks[gl][3], 4, bi) << 3);
+                        qx[l] = tab[gl][sel].X;
+                        qy[l] = tab[gl][sel].Y;
+                        qz[l] = tab[gl][sel].Z;
+                    }
+                    gather8(qx, Q[gr].X, K); gather8(qy, Q[gr].Y, K);
+                    gather8(qz, Q[gr].Z, K);
+                }
+                for (int gr = 0; gr < ng; gr++)
+                    pt_add8(fx, c.b3, ACC[gr], Q[gr], ACC[gr]);
             }
-            Pt8 Q;
-            gather8(qx, Q.X, K); gather8(qy, Q.Y, K); gather8(qz, Q.Z, K);
-            pt_add8(fx, c.b3, ACC, Q, ACC);
-        }
-        {
-            Pt res[8];
-            u64* rx[8]; u64* ry[8]; u64* rz[8];
-            for (int l = 0; l < 8; l++) {
-                memset(&res[l], 0, sizeof(Pt));
-                rx[l] = res[l].X; ry[l] = res[l].Y; rz[l] = res[l].Z;
+            for (int gr = 0; gr < ng; gr++) {
+                Pt res[8];
+                u64* rx[8]; u64* ry[8]; u64* rz[8];
+                for (int l = 0; l < 8; l++) {
+                    memset(&res[l], 0, sizeof(Pt));
+                    rx[l] = res[l].X; ry[l] = res[l].Y; rz[l] = res[l].Z;
+                }
+                scatter8(ACC[gr].X, rx, K); scatter8(ACC[gr].Y, ry, K);
+                scatter8(ACC[gr].Z, rz, K);
+                for (int l = 0; l < 8; l++)
+                    store_pt(c, res[l], out + (i0 + (u64)gr * 8 + l) * 3 * L);
             }
-            scatter8(ACC.X, rx, K); scatter8(ACC.Y, ry, K);
-            scatter8(ACC.Z, rz, K);
-            for (int l = 0; l < 8; l++)
-                store_pt(c, res[l], out + (i0 + l) * 3 * L);
         }
     }
     if (i0 < n)                        // remainder lanes, 1-way plain
