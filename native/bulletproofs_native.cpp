@@ -486,6 +486,30 @@ BP_TGT static void pt_add_mixed8(const F52x8& f, u64 b3,
     f.mont_mul(yz, n, tmp2); f.add(tmp2, tmp, R.Z);
 }
 
+// 8 independent complete doublings (a = 0): R[l] = 2*P[l]
+// (Renes-Costello-Batina 2016 algorithm 9: 8 muls + 1 small-mul vs the
+// 12 + 2 of the generic complete add — the fold ladders' shared-doubling
+// step is half their op count)
+BP_TGT static void pt_dbl8(const F52x8& f, u64 b3, const Pt8& P, Pt8& R) {
+    Vec8 t0, t1, t2, x3, y3, z3;
+    f.mont_mul(P.Y, P.Y, t0);
+    f.add(t0, t0, z3); f.add(z3, z3, z3); f.add(z3, z3, z3);   // 8Y^2
+    f.mont_mul(P.Y, P.Z, t1);
+    f.mont_mul(P.Z, P.Z, t2);
+    f.mul_small(t2, b3, t2);
+    f.mont_mul(t2, z3, x3);
+    f.add(t0, t2, y3);
+    f.mont_mul(t1, z3, z3);
+    f.add(t2, t2, t1); f.add(t1, t2, t2);
+    f.sub(t0, t2, t0);
+    f.mont_mul(t0, y3, y3);
+    f.add(x3, y3, y3);
+    f.mont_mul(P.X, P.Y, t1);
+    f.mont_mul(t0, t1, x3);
+    f.add(x3, x3, x3);
+    R.X = x3; R.Y = y3; R.Z = z3;
+}
+
 // 8 independent full complete adds (a = 0): R[l] = P[l] + Q[l]
 BP_TGT static void pt_add8(const F52x8& f, u64 b3, const Pt8& P,
                            const Pt8& Q, Pt8& R) {
@@ -1084,7 +1108,7 @@ static void fold_impl8(const CurveT<Field52>& c, const u64* PL,
             gather8(pz, ACC.Z, K);
         }
         for (int bi = bits - 1; bi >= 0; bi--) {
-            pt_add8(fx, c.b3, ACC, ACC, ACC);          // shared doubling
+            pt_dbl8(fx, c.b3, ACC, ACC);               // shared doubling
             const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
             for (int l = 0; l < 8; l++) {
                 int sel = scalar_bit(s1 + (i0 + l) * Lr, Lr, bi)
@@ -1507,7 +1531,7 @@ static void fold_impl8_glv(const CurveT<Field52>& c, const GlvCtx& g,
             }
             for (int bi = bits - 1; bi >= 0; bi--) {
                 for (int gr = 0; gr < ng; gr++)        // shared doublings
-                    pt_add8(fx, c.b3, ACC[gr], ACC[gr], ACC[gr]);
+                    pt_dbl8(fx, c.b3, ACC[gr], ACC[gr]);
                 Pt8 Q[FOLD_NG];
                 for (int gr = 0; gr < ng; gr++) {
                     const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
