@@ -49,7 +49,7 @@ def get_lib():
                    "bp_scalar_mul_batch",
                    "bp_add_batch", "bp_combine_rowcol",
                    "bp_combine_totals", "bp_ipp_round_lr",
-                   "bp_ipp_round_fold"):
+                   "bp_ipp_round_fold", "bp_msm2_multi"):
             getattr(_lib, fn).restype = None
     return _lib
 
@@ -299,6 +299,27 @@ class CppBackend:
                     _ptr(abi.scalars_to_buf(scalars)),
                     ctypes.c_uint64(len(points)), _ptr(out))
         return abi.buf_to_points(out, 1)[0]
+
+    def msm_multi(self, points, scalar_sets):
+        """k MSMs over ONE point table in one native call: the (costly)
+        batch normalization + GLV psi prep is shared across the k scalar
+        sets.  Used by the prover's phase-1/phase-2 witness commitments
+        (A_I, A_O, S over the same [G | H | h] table, `prover.rs:336-434`).
+        Returns k G1 results."""
+        k = len(scalar_sets)
+        if not points:
+            return [G1.identity() for _ in range(k)]
+        abi = self._abi(points)
+        lib = get_lib()
+        n = len(points)
+        sbuf = np.concatenate(
+            [abi.scalars_to_buf(s) for s in scalar_sets])
+        out = np.zeros(k * 3 * abi.Lp, dtype=np.uint64)
+        lib.bp_msm2_multi(_ptr(abi.params), _ptr(abi.glv_block()),
+                          _ptr(abi.points_to_buf(points)), _ptr(sbuf),
+                          ctypes.c_uint64(n), ctypes.c_uint64(k),
+                          _ptr(out))
+        return abi.buf_to_points(out, k)
 
     def _msm_legacy(self, points, scalars):
         abi = self._abi(points)

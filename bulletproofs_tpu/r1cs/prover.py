@@ -256,12 +256,22 @@ class Prover(ConstraintSystem):
         G_n1, H_n1 = G[:n1], H[:n1]
         be = get_backend(2 * n1 + 1)
         # A_I = <a_L, G> + <a_R, H> + i_blinding * h   [prover.rs:347-355]
-        A_I1 = be.msm(G_n1 + H_n1 + [self.h],
-                      self.a_L + self.a_R + [i_blinding1])
         # A_O = <a_O, G> + o_blinding * h
-        A_O1 = be.msm(G_n1 + [self.h], self.a_O + [o_blinding1])
         # S = <s_L, G> + <s_R, H> + s_blinding * h
-        S1 = be.msm(G_n1 + H_n1 + [self.h], s_L1 + s_R1 + [s_blinding1])
+        if hasattr(be, "msm_multi"):
+            # one shared [G | H | h] table: point normalization/psi prep is
+            # the dominant per-point cost and is paid once for all three
+            A_I1, A_O1, S1 = be.msm_multi(
+                G_n1 + H_n1 + [self.h],
+                [self.a_L + self.a_R + [i_blinding1],
+                 self.a_O + [0] * n1 + [o_blinding1],
+                 s_L1 + s_R1 + [s_blinding1]])
+        else:
+            A_I1 = be.msm(G_n1 + H_n1 + [self.h],
+                          self.a_L + self.a_R + [i_blinding1])
+            A_O1 = be.msm(G_n1 + [self.h], self.a_O + [o_blinding1])
+            S1 = be.msm(G_n1 + H_n1 + [self.h],
+                        s_L1 + s_R1 + [s_blinding1])
 
         tr.commit_point(b"A_I1", A_I1)
         tr.commit_point(b"A_O1", A_O1)
@@ -289,10 +299,20 @@ class Prover(ConstraintSystem):
         if has_phase2:
             G_n2, H_n2 = G[n1:n], H[n1:n]
             be2 = get_backend(2 * n2 + 1)
-            A_I2 = be2.msm(G_n2 + H_n2 + [self.h],
-                           self.a_L[n1:] + self.a_R[n1:] + [i_blinding2])
-            A_O2 = be2.msm(G_n2 + [self.h], self.a_O[n1:] + [o_blinding2])
-            S2 = be2.msm(G_n2 + H_n2 + [self.h], s_L2 + s_R2 + [s_blinding2])
+            if hasattr(be2, "msm_multi"):
+                A_I2, A_O2, S2 = be2.msm_multi(
+                    G_n2 + H_n2 + [self.h],
+                    [self.a_L[n1:] + self.a_R[n1:] + [i_blinding2],
+                     self.a_O[n1:] + [0] * n2 + [o_blinding2],
+                     s_L2 + s_R2 + [s_blinding2]])
+            else:
+                A_I2 = be2.msm(G_n2 + H_n2 + [self.h],
+                               self.a_L[n1:] + self.a_R[n1:]
+                               + [i_blinding2])
+                A_O2 = be2.msm(G_n2 + [self.h],
+                               self.a_O[n1:] + [o_blinding2])
+                S2 = be2.msm(G_n2 + H_n2 + [self.h],
+                             s_L2 + s_R2 + [s_blinding2])
         else:
             ident = type(self.g).identity(self.g.cv)
             A_I2 = A_O2 = S2 = ident

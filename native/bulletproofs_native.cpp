@@ -1986,12 +1986,16 @@ static void msm_ifma8_signed_affine(const CurveT<Field52>& c,
 }
 
 // IFMA driver: normalize, build (X, Y, p-Y) [+ GLV psi half], split +
-// recode scalars, run the signed core.
+// recode scalars, run the signed core.  k scalar SETS (stride n*Lr) share
+// the normalization/psi prep — the expensive per-point work — and produce
+// k outputs (stride 3*L64): the prover's phase-1 witness commitments are
+// three MSMs over one [G | H | h] table.
 BP_TGT
 static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
                       const u64* pts_proj, const u64* scalars, u64 n,
-                      u64* out) {
+                      u64 k, u64* out) {
     const int Lr = c.Lr;
+    const int L64 = c.fp.L64;
     std::vector<char> isid;
     std::vector<u64> AX(n * MAXL), AY(n * MAXL);
     normalize_points(c, pts_proj, n, AX.data(), AY.data(), isid);
@@ -2012,63 +2016,73 @@ static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
     }
 
     std::vector<u64> S(glv ? 2 * n * 4 : 0);
-    int maxbits = 0;
-    for (u64 i = 0; i < n; i++) {
-        if (isid[i]) {
-            if (glv) {
-                memset(&S[i * 4], 0, 4 * sizeof(u64));
-                memset(&S[(n + i) * 4], 0, 4 * sizeof(u64));
+    std::vector<int16_t> dig;
+    for (u64 set = 0; set < k; set++) {
+        const u64* sc = scalars + set * n * Lr;
+        u64* out_set = out + set * 3 * L64;
+        int maxbits = 0;
+        for (u64 i = 0; i < n; i++) {
+            if (isid[i]) {
+                if (glv) {
+                    memset(&S[i * 4], 0, 4 * sizeof(u64));
+                    memset(&S[(n + i) * 4], 0, 4 * sizeof(u64));
+                }
+                continue;
             }
+            if (glv) {
+                glv_split(g, sc + i * Lr, Lr, &S[i * 4], &S[(n + i) * 4]);
+                int b1 = scalar_bits(&S[i * 4], 4);
+                int b2 = scalar_bits(&S[(n + i) * 4], 4);
+                if (b1 > maxbits) maxbits = b1;
+                if (b2 > maxbits) maxbits = b2;
+            } else {
+                int b = scalar_bits(sc + i * Lr, Lr);
+                if (b > maxbits) maxbits = b;
+            }
+        }
+        if (maxbits == 0) {
+            Pt id; pt_identity(c, id);
+            store_pt(c, id, out_set);
             continue;
         }
-        if (glv) {
-            glv_split(g, scalars + i * Lr, Lr, &S[i * 4], &S[(n + i) * 4]);
-            int b1 = scalar_bits(&S[i * 4], 4);
-            int b2 = scalar_bits(&S[(n + i) * 4], 4);
-            if (b1 > maxbits) maxbits = b1;
-            if (b2 > maxbits) maxbits = b2;
-        } else {
-            int b = scalar_bits(scalars + i * Lr, Lr);
-            if (b > maxbits) maxbits = b;
+
+        // swept on this host with the signed+GLV core (NOTES.md round 3:
+        // n=64 c=8 3.7ms, n=256 c=9 7.6, n=2048 c=10 30, n=16384 c=11 194,
+        // n=65536 c=13 ~762 vs c=12 ~800)
+        int cbits;
+        if (n < 256) cbits = 8;
+        else if (n < 1024) cbits = 9;
+        else if (n < 8192) cbits = 10;
+        else if (n < 32768) cbits = 11;
+        else cbits = 13;
+        const char* ov = getenv("BP_CPP_WINDOW");
+        if (ov && ov[0]) {
+            int v = atoi(ov);
+            if (v >= 2 && v <= 14) cbits = v;
         }
-    }
-    Pt id; pt_identity(c, id);
-    if (maxbits == 0) { store_pt(c, id, out); return; }
 
-    // swept on this host with the signed+GLV core (NOTES.md round 3:
-    // n=64 c=8 3.7ms, n=256 c=9 7.6, n=2048 c=10 30, n=16384 c=11 194,
-    // n=65536 c=13 ~762 vs c=12 ~800)
-    int cbits;
-    if (n < 256) cbits = 8;
-    else if (n < 1024) cbits = 9;
-    else if (n < 8192) cbits = 10;
-    else if (n < 32768) cbits = 11;
-    else cbits = 13;
-    const char* ov = getenv("BP_CPP_WINDOW");
-    if (ov && ov[0]) {
-        int v = atoi(ov);
-        if (v >= 2 && v <= 14) cbits = v;
+        const int nwin = (maxbits + cbits) / cbits;  // +1 bit: signed carry
+        dig.assign((u64)nwin * n_eff, 0);
+        for (u64 i = 0; i < n_eff; i++) {
+            if (isid[i % n]) continue;
+            const u64* kk = glv ? &S[i * 4] : sc + i * Lr;
+            recode_signed(kk, glv ? 4 : Lr, cbits, nwin, dig.data(),
+                          n_eff, i);
+        }
+        // BP_MSM_AFFINE=1 opts into the batch-affine bucket pass —
+        // measured SLOWER than the projective mixed-add pass on this host
+        // (0.67 vs 0.47 s at n=16384): the 6-vs-11 mul advantage is eaten
+        // by the extra gather/scatter round-trips between the den/prefix/
+        // backout/writeback passes, while pt_add_mixed8 keeps everything
+        // in zmm registers.  Kept (bit-exact) for future A/B.
+        const char* aff = getenv("BP_MSM_AFFINE");
+        if (aff && aff[0] == '1')
+            msm_ifma8_signed_affine(c, pts.data(), dig.data(), n_eff, nwin,
+                                    cbits, out_set);
+        else
+            msm_ifma8_signed(c, pts.data(), dig.data(), n_eff, nwin, cbits,
+                             out_set);
     }
-
-    const int nwin = (maxbits + cbits) / cbits;   // +1 bit: signed carry
-    std::vector<int16_t> dig((u64)nwin * n_eff, 0);
-    for (u64 i = 0; i < n_eff; i++) {
-        if (isid[i % n]) continue;
-        const u64* k = glv ? &S[i * 4] : scalars + i * Lr;
-        recode_signed(k, glv ? 4 : Lr, cbits, nwin, dig.data(), n_eff, i);
-    }
-    // BP_MSM_AFFINE=1 opts into the batch-affine bucket pass — measured
-    // SLOWER than the projective mixed-add pass on this host (0.67 vs
-    // 0.47 s at n=16384): the 6-vs-11 mul advantage is eaten by the extra
-    // gather/scatter round-trips between the den/prefix/backout/writeback
-    // passes, while pt_add_mixed8 keeps everything in zmm registers.
-    // Kept (bit-exact, incl. double/cancel paths) for future A/B.
-    const char* aff = getenv("BP_MSM_AFFINE");
-    if (aff && aff[0] == '1')
-        msm_ifma8_signed_affine(c, pts.data(), dig.data(), n_eff, nwin,
-                                cbits, out);
-    else
-        msm_ifma8_signed(c, pts.data(), dig.data(), n_eff, nwin, cbits, out);
 }
 
 #endif  // __x86_64__
@@ -2181,11 +2195,19 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
 
 // Projective-input MSM (see header above bp_msm2's helpers).  glv_params:
 // [enabled, lam[4], mu[5], beta_plain[8]] (18 u64; all-zero disables GLV).
-void bp_msm2(const u64* params, const u64* glv_params, const u64* points,
-             const u64* scalars, u64 n, u64* out) {
+// k independent MSMs over ONE point table (scalars: k sets of n, stride
+// n*Lr; out: k points).  The IFMA path shares the point normalization +
+// GLV psi prep across sets; fallbacks loop.
+void bp_msm2_multi(const u64* params, const u64* glv_params,
+                   const u64* points, const u64* scalars, u64 n, u64 k,
+                   u64* out) {
     CurveT<Field> c = load_curve(params);
+    const int L64 = c.fp.L64;
+    const int Lr = (int)c.Lr;
     if (n == 0) {
-        Pt id; pt_identity(c, id); store_pt(c, id, out); return;
+        Pt id; pt_identity(c, id);
+        for (u64 s = 0; s < k; s++) store_pt(c, id, out + s * 3 * L64);
+        return;
     }
     if (ifma_available()) {
         CurveT<Field52> c52 = to52(c);
@@ -2199,14 +2221,22 @@ void bp_msm2(const u64* params, const u64* glv_params, const u64* points,
                 memcpy(g.mu, glv_params + 5, 5 * sizeof(u64));
                 c52.fp.abi_to_mont(glv_params + 10, g.beta_m);
             }
-            msm2_ifma(c52, g, points, scalars, n, out);
+            msm2_ifma(c52, g, points, scalars, n, k, out);
             return;
         }
+        for (u64 s = 0; s < k; s++)
+            msm2_generic(c52, points, scalars + s * n * Lr, n,
+                         out + s * 3 * L64);
+        return;
 #endif
-        msm2_generic(c52, points, scalars, n, out);
-    } else {
-        msm2_generic(c, points, scalars, n, out);
     }
+    for (u64 s = 0; s < k; s++)
+        msm2_generic(c, points, scalars + s * n * Lr, n, out + s * 3 * L64);
+}
+
+void bp_msm2(const u64* params, const u64* glv_params, const u64* points,
+             const u64* scalars, u64 n, u64* out) {
+    bp_msm2_multi(params, glv_params, points, scalars, n, 1, out);
 }
 
 void bp_fold(const u64* params, const u64* PL, const u64* PR,
