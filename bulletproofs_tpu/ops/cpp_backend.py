@@ -49,7 +49,8 @@ def get_lib():
                    "bp_scalar_mul_batch",
                    "bp_add_batch", "bp_combine_rowcol",
                    "bp_combine_totals", "bp_ipp_round_lr",
-                   "bp_ipp_round_fold", "bp_msm2_multi"):
+                   "bp_ipp_round_fold", "bp_msm2_multi",
+                   "bp_ipp_round_lr_exp", "bp_fold4"):
             getattr(_lib, fn).restype = None
     return _lib
 
@@ -219,57 +220,139 @@ def create_ipp_rounds(transcript, Q, G_factors, H_factors, G_vec, H_vec,
     """Native-resident IPA round loop (`/root/reference/src/ipp.rs:66-194`).
 
     The round state — G/H bases as ABI point buffers, a/b as plain LE
-    scalar limbs — lives in numpy buffers across all log2(n) rounds
-    (bp_ipp_round_lr computes c_L/c_R and the two L/R MSMs, bp_ipp_round_fold
-    halves everything in place); only the two L/R points cross to Python per
-    round for the Fiat-Shamir transcript.  Same formulas and primitives as
-    the generic loop in ipp.create_ipp, so proofs are byte-identical.
-    Returns (L_vec, R_vec, a_final, b_final)."""
+    scalar limbs — lives in numpy buffers across all log2(n) rounds; only
+    the two L/R points cross to Python per round for the Fiat-Shamir
+    transcript.  Rounds run in PAIRS with deferred base folds: round A
+    uses the materialized bases (bp_ipp_round_lr), round B expands the
+    previous challenge's fold into its MSM scalars over the UNFOLDED
+    buffers (bp_ipp_round_lr_exp), and one 4-term fold (bp_fold4) per pair
+    materializes the next bases — skipping every other n/2-output fold
+    ladder, the dominant per-round cost.  L/R and the transcript schedule
+    are identical to the generic loop (fold algebra expanded exactly), so
+    proofs are byte-identical.  Returns (L_vec, R_vec, a_fin, b_fin)."""
     n = len(G_vec)
     cv = G_vec[0].cv
     abi = _CurveABI(cv)
     lib = get_lib()
     r = cv.r
     Lr = abi.Lr
+    Lp3 = 3 * abi.Lp
     Gbuf = abi.points_to_buf(G_vec).copy()
     Hbuf = abi.points_to_buf(H_vec).copy()
     abuf = abi.scalars_to_buf(a_vec).copy()
     bbuf = abi.scalars_to_buf(b_vec).copy()
     Qbuf = abi.points_to_buf([Q])
-    gfac = abi.scalars_to_buf(G_factors)
-    hfac = abi.scalars_to_buf(H_factors)
     glv = abi.glv_block()
-    outLR = np.zeros(2 * 3 * abi.Lp, dtype=np.uint64)
+    outLR = np.zeros(2 * Lp3, dtype=np.uint64)
     ubuf = np.zeros(Lr, dtype=np.uint64)
     uibuf = np.zeros(Lr, dtype=np.uint64)
+    # per-element basis factors as ints; None once absorbed by a fold
+    gf = [int(f.v if isinstance(f, Scalar) else f) % r for f in G_factors]
+    hf = [int(f.v if isinstance(f, Scalar) else f) % r for f in H_factors]
+    if all(v == 1 for v in gf) and all(v == 1 for v in hf):
+        gf = hf = None
+    gfac = abi.scalars_to_buf(G_factors) if gf is not None else None
+    hfac = abi.scalars_to_buf(H_factors) if hf is not None else None
 
-    transcript.innerproduct_domain_sep(n)
-    L_vec, R_vec = [], []
-    first = True
-    while n != 1:
-        lib.bp_ipp_round_lr(_ptr(abi.params), _ptr(abi.rparams), _ptr(glv),
-                            _ptr(Gbuf), _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
-                            _ptr(gfac) if first else None,
-                            _ptr(hfac) if first else None,
-                            _ptr(Qbuf), ctypes.c_uint64(n), _ptr(outLR))
-        L, R = abi.buf_to_points(outLR, 2)
-        transcript.commit_point(b"L", L)
-        transcript.commit_point(b"R", R)
-        L_vec.append(L)
-        R_vec.append(R)
+    def draw_u(Lpt, Rpt):
+        transcript.commit_point(b"L", Lpt)
+        transcript.commit_point(b"R", Rpt)
+        L_vec.append(Lpt)
+        R_vec.append(Rpt)
         u = transcript.challenge_scalar(b"u")
         u_inv = pow(u.v, -1, r)
         ubuf[:] = np.frombuffer(u.v.to_bytes(Lr * 8, "little"),
                                 dtype=np.uint64)
         uibuf[:] = np.frombuffer(u_inv.to_bytes(Lr * 8, "little"),
                                  dtype=np.uint64)
-        lib.bp_ipp_round_fold(_ptr(abi.params), _ptr(abi.rparams), _ptr(glv),
-                              _ptr(Gbuf), _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
-                              _ptr(gfac) if first else None,
-                              _ptr(hfac) if first else None,
-                              _ptr(ubuf), _ptr(uibuf), ctypes.c_uint64(n))
-        first = False
-        n //= 2
+        return u.v, u_inv
+
+    def fold_ab(n_cur):
+        # scalar-only fold of a, b (bases deferred): G == NULL skips them
+        lib.bp_ipp_round_fold(_ptr(abi.params), _ptr(abi.rparams),
+                              _ptr(glv), None, None, _ptr(abuf),
+                              _ptr(bbuf), None, None, _ptr(ubuf),
+                              _ptr(uibuf), ctypes.c_uint64(n_cur))
+
+    transcript.innerproduct_domain_sep(n)
+    L_vec, R_vec = [], []
+    while n != 1:
+        if n >= 4:
+            # ---- round A over materialized bases ----
+            lib.bp_ipp_round_lr(
+                _ptr(abi.params), _ptr(abi.rparams), _ptr(glv), _ptr(Gbuf),
+                _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                _ptr(gfac) if gf is not None else None,
+                _ptr(hfac) if hf is not None else None,
+                _ptr(Qbuf), ctypes.c_uint64(n), _ptr(outLR))
+            LA, RA = abi.buf_to_points(outLR, 2)
+            uA, uA_inv = draw_u(LA, RA)
+            fold_ab(n)
+            uAbuf = ubuf.copy()
+            uAibuf = uibuf.copy()
+            nB = n // 2
+            # ---- round B with implicit (unfolded) bases ----
+            lib.bp_ipp_round_lr_exp(
+                _ptr(abi.params), _ptr(abi.rparams), _ptr(glv), _ptr(Gbuf),
+                _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                _ptr(gfac) if gf is not None else None,
+                _ptr(hfac) if hf is not None else None,
+                _ptr(Qbuf), ctypes.c_uint64(nB), _ptr(uAbuf),
+                _ptr(uAibuf), _ptr(outLR))
+            LB, RB = abi.buf_to_points(outLR, 2)
+            uB, uB_inv = draw_u(LB, RB)
+            fold_ab(nB)
+            nQ = nB // 2
+            if nQ >= 2:
+                # ---- one 4-term fold materializes the next bases ----
+                # G'' combos (G-folds use (u_inv, u), ipp.rs:119-130):
+                #   c1 = uBinv*uAinv*fg[i]        over G[0:nQ]
+                #   c2 = uB*uAinv*fg[nQ+i]        over G[nQ:2nQ]
+                #   c3 = uBinv*uA*fg[nB+i]        over G[nB:nB+nQ]
+                #   c4 = uB*uA*fg[nB+nQ+i]        over G[nB+nQ:nB+2nQ]
+                # H'' mirrored with u <-> u_inv swapped.
+                def combos(p1, p2, p3, p4, fac):
+                    if fac is None:
+                        return [abi.scalars_to_buf([p] * nQ)
+                                for p in (p1, p2, p3, p4)]
+                    return [abi.scalars_to_buf(
+                                [p1 * f % r for f in fac[:nQ]]),
+                            abi.scalars_to_buf(
+                                [p2 * f % r for f in fac[nQ:2 * nQ]]),
+                            abi.scalars_to_buf(
+                                [p3 * f % r for f in fac[nB:nB + nQ]]),
+                            abi.scalars_to_buf(
+                                [p4 * f % r
+                                 for f in fac[nB + nQ:nB + 2 * nQ]])]
+
+                def fold4(buf, cs):
+                    out4 = np.zeros(nQ * Lp3, dtype=np.uint64)
+                    lib.bp_fold4(
+                        _ptr(abi.params), _ptr(buf), _ptr(buf[nQ * Lp3:]),
+                        _ptr(buf[nB * Lp3:]), _ptr(buf[(nB + nQ) * Lp3:]),
+                        _ptr(cs[0]), _ptr(cs[1]), _ptr(cs[2]), _ptr(cs[3]),
+                        ctypes.c_uint64(nQ), _ptr(out4))
+                    buf[:nQ * Lp3] = out4
+
+                fold4(Gbuf, combos(uB_inv * uA_inv % r, uB * uA_inv % r,
+                                   uB_inv * uA % r, uB * uA % r, gf))
+                fold4(Hbuf, combos(uB * uA % r, uB_inv * uA % r,
+                                   uB * uA_inv % r, uB_inv * uA_inv % r,
+                                   hf))
+                gf = hf = None
+            n = nQ
+        else:
+            # ---- final single round (n == 2): bases never needed again
+            lib.bp_ipp_round_lr(
+                _ptr(abi.params), _ptr(abi.rparams), _ptr(glv), _ptr(Gbuf),
+                _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                _ptr(gfac) if gf is not None else None,
+                _ptr(hfac) if hf is not None else None,
+                _ptr(Qbuf), ctypes.c_uint64(n), _ptr(outLR))
+            Lp, Rp = abi.buf_to_points(outLR, 2)
+            draw_u(Lp, Rp)
+            fold_ab(n)
+            n //= 2
     a0 = int.from_bytes(np.ascontiguousarray(abuf[:Lr]).tobytes(), "little")
     b0 = int.from_bytes(np.ascontiguousarray(bbuf[:Lr]).tobytes(), "little")
     return L_vec, R_vec, Scalar(a0, cv), Scalar(b0, cv)

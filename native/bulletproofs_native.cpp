@@ -1263,6 +1263,50 @@ static void add_batch_impl(const CurveT<F>& c, const u64* P, const u64* Q,
     }
 }
 
+// 4-term fold: out[i] = s1[i]*P1[i] + s2[i]*P2[i] + s3[i]*P3[i] +
+// s4[i]*P4[i] — one IPA round PAIR's combined base fold (`ipp.rs:119-130`
+// applied twice).  Straus ladder over a 16-entry joint table; full-width
+// scalars (the u-product coefficients are full width, so GLV splitting
+// would need a 256-entry table for the same ladder depth — not worth it).
+template <class F>
+static void fold4_impl(const CurveT<F>& c, const u64* P1, const u64* P2,
+                       const u64* P3, const u64* P4, const u64* s1,
+                       const u64* s2, const u64* s3, const u64* s4,
+                       u64 n, u64* out) {
+    const int L = c.fp.L64, Lr = c.Lr;
+    for (u64 i = 0; i < n; i++) {
+        Pt tab[16];
+        pt_identity(c, tab[0]);
+        load_pt(c, P1 + i * 3 * L, tab[1]);
+        load_pt(c, P2 + i * 3 * L, tab[2]);
+        load_pt(c, P3 + i * 3 * L, tab[4]);
+        load_pt(c, P4 + i * 3 * L, tab[8]);
+        for (int e = 3; e < 16; e++) {
+            if ((e & (e - 1)) == 0) continue;
+            const int lo = e & (-e);
+            pt_add(c, tab[e - lo], tab[lo], tab[e]);
+        }
+        const u64* ks[4] = {s1 + i * Lr, s2 + i * Lr, s3 + i * Lr,
+                            s4 + i * Lr};
+        int bits = 1;
+        for (int j = 0; j < 4; j++) {
+            int b = scalar_bits(ks[j], Lr);
+            if (b > bits) bits = b;
+        }
+        Pt acc;
+        pt_identity(c, acc);
+        for (int bi = bits - 1; bi >= 0; bi--) {
+            pt_add(c, acc, acc, acc);
+            int sel = scalar_bit(ks[0], Lr, bi)
+                    | (scalar_bit(ks[1], Lr, bi) << 1)
+                    | (scalar_bit(ks[2], Lr, bi) << 2)
+                    | (scalar_bit(ks[3], Lr, bi) << 3);
+            if (sel) pt_add(c, acc, tab[sel], acc);
+        }
+        store_pt(c, acc, out + i * 3 * L);
+    }
+}
+
 // ===========================================================================
 // bp_msm2: projective-input MSM.
 //
@@ -1568,6 +1612,121 @@ static void fold_impl8_glv(const CurveT<Field52>& c, const GlvCtx& g,
     if (i0 < n)                        // remainder lanes, 1-way plain
         fold_impl(c, PL + i0 * 3 * L, PR + i0 * 3 * L, s1 + i0 * Lr,
                   s2 + i0 * Lr, n - i0, out + i0 * 3 * L);
+}
+
+// 8-way 4-term fold (see fold4_impl): 16-entry joint tables, full-width
+// ladder, FOLD_NG interleaved groups.
+BP_TGT
+static void fold4_impl8(const CurveT<Field52>& c, const u64* P1,
+                        const u64* P2, const u64* P3, const u64* P4,
+                        const u64* s1, const u64* s2, const u64* s3,
+                        const u64* s4, u64 n, u64* out) {
+    const int L = c.fp.L64, Lr = c.Lr;
+    const int K = c.fp.L;
+    F52x8 fx; fx.init(c.fp);
+    const u64* Ss[4] = {s1, s2, s3, s4};
+    u64 i0 = 0;
+    for (int ng = FOLD_NG; ng >= 1; ng--) {
+        const u64 lanes = (u64)ng * 8;
+        for (; i0 + lanes <= n; i0 += lanes) {
+            Pt tab[FOLD_NG * 8][16];
+            int bits = 1;
+            for (u64 l = 0; l < lanes; l++) {
+                pt_identity(c, tab[l][0]);
+                load_pt(c, P1 + (i0 + l) * 3 * L, tab[l][1]);
+                load_pt(c, P2 + (i0 + l) * 3 * L, tab[l][2]);
+                load_pt(c, P3 + (i0 + l) * 3 * L, tab[l][4]);
+                load_pt(c, P4 + (i0 + l) * 3 * L, tab[l][8]);
+                for (int j = 0; j < 4; j++) {
+                    int b = scalar_bits(Ss[j] + (i0 + l) * Lr, Lr);
+                    if (b > bits) bits = b;
+                }
+            }
+            for (int e = 3; e < 16; e++) {     // composite entries, 8-way
+                if ((e & (e - 1)) == 0) continue;
+                const int lo = e & (-e), rest = e - lo;
+                Pt8 A8[FOLD_NG], B8[FOLD_NG];
+                u64* ox[FOLD_NG][8]; u64* oy[FOLD_NG][8];
+                u64* oz[FOLD_NG][8];
+                for (int gr = 0; gr < ng; gr++) {
+                    const u64 *ax[8], *ay[8], *az[8];
+                    const u64 *bx[8], *by[8], *bz[8];
+                    for (int l = 0; l < 8; l++) {
+                        Pt* tl = tab[gr * 8 + l];
+                        ax[l] = tl[rest].X; ay[l] = tl[rest].Y;
+                        az[l] = tl[rest].Z;
+                        bx[l] = tl[lo].X; by[l] = tl[lo].Y;
+                        bz[l] = tl[lo].Z;
+                        ox[gr][l] = tl[e].X; oy[gr][l] = tl[e].Y;
+                        oz[gr][l] = tl[e].Z;
+                    }
+                    gather8(ax, A8[gr].X, K); gather8(ay, A8[gr].Y, K);
+                    gather8(az, A8[gr].Z, K);
+                    gather8(bx, B8[gr].X, K); gather8(by, B8[gr].Y, K);
+                    gather8(bz, B8[gr].Z, K);
+                }
+                for (int gr = 0; gr < ng; gr++)
+                    pt_add8(fx, c.b3, A8[gr], B8[gr], A8[gr]);
+                for (int gr = 0; gr < ng; gr++) {
+                    scatter8(A8[gr].X, ox[gr], K);
+                    scatter8(A8[gr].Y, oy[gr], K);
+                    scatter8(A8[gr].Z, oz[gr], K);
+                }
+            }
+            Pt8 ACC[FOLD_NG];
+            {
+                Pt id;
+                pt_identity(c, id);
+                const u64* px[8]; const u64* py[8]; const u64* pz[8];
+                for (int l = 0; l < 8; l++) {
+                    px[l] = id.X; py[l] = id.Y; pz[l] = id.Z;
+                }
+                gather8(px, ACC[0].X, K); gather8(py, ACC[0].Y, K);
+                gather8(pz, ACC[0].Z, K);
+                for (int gr = 1; gr < ng; gr++) ACC[gr] = ACC[0];
+            }
+            for (int bi = bits - 1; bi >= 0; bi--) {
+                for (int gr = 0; gr < ng; gr++)
+                    pt_dbl8(fx, c.b3, ACC[gr], ACC[gr]);
+                Pt8 Q[FOLD_NG];
+                for (int gr = 0; gr < ng; gr++) {
+                    const u64* qx[8]; const u64* qy[8]; const u64* qz[8];
+                    for (int l = 0; l < 8; l++) {
+                        const u64 gl = (u64)(i0 + gr * 8 + l);
+                        int sel = scalar_bit(Ss[0] + gl * Lr, Lr, bi)
+                                | (scalar_bit(Ss[1] + gl * Lr, Lr, bi) << 1)
+                                | (scalar_bit(Ss[2] + gl * Lr, Lr, bi) << 2)
+                                | (scalar_bit(Ss[3] + gl * Lr, Lr, bi) << 3);
+                        Pt* tl = tab[gr * 8 + l];
+                        qx[l] = tl[sel].X;
+                        qy[l] = tl[sel].Y;
+                        qz[l] = tl[sel].Z;
+                    }
+                    gather8(qx, Q[gr].X, K); gather8(qy, Q[gr].Y, K);
+                    gather8(qz, Q[gr].Z, K);
+                }
+                for (int gr = 0; gr < ng; gr++)
+                    pt_add8(fx, c.b3, ACC[gr], Q[gr], ACC[gr]);
+            }
+            for (int gr = 0; gr < ng; gr++) {
+                Pt res[8];
+                u64* rx[8]; u64* ry[8]; u64* rz[8];
+                for (int l = 0; l < 8; l++) {
+                    memset(&res[l], 0, sizeof(Pt));
+                    rx[l] = res[l].X; ry[l] = res[l].Y; rz[l] = res[l].Z;
+                }
+                scatter8(ACC[gr].X, rx, K); scatter8(ACC[gr].Y, ry, K);
+                scatter8(ACC[gr].Z, rz, K);
+                for (int l = 0; l < 8; l++)
+                    store_pt(c, res[l],
+                             out + (i0 + (u64)gr * 8 + l) * 3 * L);
+            }
+        }
+    }
+    if (i0 < n)                        // remainder lanes, 1-way generic
+        fold4_impl(c, P1 + i0 * 3 * L, P2 + i0 * 3 * L, P3 + i0 * 3 * L,
+                   P4 + i0 * 3 * L, s1 + i0 * Lr, s2 + i0 * Lr,
+                   s3 + i0 * Lr, s4 + i0 * Lr, n - i0, out + i0 * 3 * L);
 }
 
 // Montgomery-form affine point with its negation's Y cached (192 bytes =
@@ -2356,7 +2515,8 @@ void bp_ipp_round_lr(const u64* params, const u64* rparams, const u64* glv,
 
 // Phase B: fold a, b (scalar halves) and G, H (base halves) in place after
 // the challenge u; the front halves of all four buffers hold the new round
-// state.  gfac/hfac non-null on the first round.
+// state.  gfac/hfac non-null on the first round.  G == NULL skips the base
+// folds (the paired-round scheme defers them to one 4-term fold).
 void bp_ipp_round_fold(const u64* params, const u64* rparams, const u64* glv,
                        u64* G, u64* H, u64* a, u64* b, const u64* gfac,
                        const u64* hfac, const u64* u, const u64* u_inv,
@@ -2377,6 +2537,7 @@ void bp_ipp_round_fold(const u64* params, const u64* rparams, const u64* glv,
         fr.mont_mul(um, b + (n2 + i) * Lr, t2);
         fr.add(t1, t2, b + i * Lr);
     }
+    if (!G) return;
     // G' = (u_inv*GfL_i)*G_L + (u*GfR_i)*G_R ; H' mirrored (ipp.rs:119-130)
     std::vector<u64> s1(n2 * Lr), s2(n2 * Lr);
     if (gfac) {
@@ -2407,6 +2568,106 @@ void bp_ipp_round_fold(const u64* params, const u64* rparams, const u64* glv,
         }
     }
     bp_fold2(params, glv, H, H + n2 * 3 * L, s1.data(), s2.data(), n2, H);
+}
+
+// 4-term fold: out[i] = s1[i]*P1[i] + ... + s4[i]*P4[i] (full-width
+// scalars; the paired-round IPA's combined base fold).
+void bp_fold4(const u64* params, const u64* P1, const u64* P2,
+              const u64* P3, const u64* P4, const u64* s1, const u64* s2,
+              const u64* s3, const u64* s4, u64 n, u64* out) {
+    CurveT<Field> c = load_curve(params);
+    if (ifma_available()) {
+        CurveT<Field52> c52 = to52(c);
+#if defined(__x86_64__)
+        if (!c.a_nonzero) {
+            fold4_impl8(c52, P1, P2, P3, P4, s1, s2, s3, s4, n, out);
+            return;
+        }
+#endif
+        fold4_impl(c52, P1, P2, P3, P4, s1, s2, s3, s4, n, out);
+    } else {
+        fold4_impl(c, P1, P2, P3, P4, s1, s2, s3, s4, n, out);
+    }
+}
+
+// Paired-round L/R: the current round's bases are IMPLICIT — G, H are the
+// UNFOLDED previous-round buffers (length 2*nB, optional per-element
+// factors fG/fH) and the fold by the previous challenge uA is expanded
+// into the MSM scalars, so each L/R MSM runs over 2*nB+1 points instead
+// of nB+1 and the nB-output materializing fold is skipped entirely
+// (deferred to one 4-term fold per round pair).
+void bp_ipp_round_lr_exp(const u64* params, const u64* rparams,
+                         const u64* glv, const u64* G, const u64* H,
+                         const u64* a, const u64* b, const u64* fG,
+                         const u64* fH, const u64* Q, u64 nB,
+                         const u64* uA, const u64* uA_inv, u64* outLR) {
+    CurveT<Field> c = load_curve(params);
+    Field fr = load_rfield(rparams);
+    const int L = c.fp.L64, Lr = fr.L;
+    const u64 nB2 = nB / 2;
+    u64 uAm[MAXL], uAim[MAXL], tm[MAXL], tp[MAXL];
+    fr.mont_mul(uA, fr.r2, uAm);
+    fr.mont_mul(uA_inv, fr.r2, uAim);
+    // s = fac * u * x (plain): fac*R -> fac*u*R -> fac*u*x
+    auto triple = [&](const u64* fac, const u64* u_m, const u64* x,
+                      u64* dst) {
+        if (fac) {
+            u64 f1[MAXL], f2[MAXL];
+            fr.mont_mul(fac, fr.r2, f1);       // fac*R
+            fr.mont_mul(f1, u_m, f2);          // fac*u*R
+            fr.mont_mul(f2, x, dst);           // fac*u*x plain
+        } else {
+            fr.mont_mul(u_m, x, dst);
+        }
+    };
+    u64 cl[MAXL] = {0}, cr[MAXL] = {0};
+    for (u64 i = 0; i < nB2; i++) {
+        fr.mont_mul(b + (nB2 + i) * Lr, fr.r2, tm);
+        fr.mont_mul(tm, a + i * Lr, tp);
+        fr.add(cl, tp, cl);
+        fr.mont_mul(b + i * Lr, fr.r2, tm);
+        fr.mont_mul(tm, a + (nB2 + i) * Lr, tp);
+        fr.add(cr, tp, cr);
+    }
+    const u64 npts = 2 * nB + 1;
+    std::vector<u64> pts(npts * 3 * L);
+    std::vector<u64> sc(npts * Lr, 0);
+    const u64 slice = nB2 * 3 * L;
+    // ---- L over [G[nB2:nB] | G[nB+nB2:2nB] | H[0:nB2] | H[nB:nB+nB2] | Q]
+    memcpy(&pts[0], G + nB2 * 3 * L, slice * sizeof(u64));
+    memcpy(&pts[slice], G + (nB + nB2) * 3 * L, slice * sizeof(u64));
+    memcpy(&pts[2 * slice], H, slice * sizeof(u64));
+    memcpy(&pts[3 * slice], H + nB * 3 * L, slice * sizeof(u64));
+    memcpy(&pts[4 * slice], Q, 3 * L * sizeof(u64));
+    for (u64 i = 0; i < nB2; i++) {
+        const u64* aL = a + i * Lr;
+        const u64* bR = b + (nB2 + i) * Lr;
+        triple(fG ? fG + (nB2 + i) * Lr : 0, uAim, aL, &sc[i * Lr]);
+        triple(fG ? fG + (nB + nB2 + i) * Lr : 0, uAm, aL,
+               &sc[(nB2 + i) * Lr]);
+        triple(fH ? fH + i * Lr : 0, uAm, bR, &sc[(2 * nB2 + i) * Lr]);
+        triple(fH ? fH + (nB + i) * Lr : 0, uAim, bR,
+               &sc[(3 * nB2 + i) * Lr]);
+    }
+    memcpy(&sc[2 * nB * Lr], cl, Lr * sizeof(u64));
+    bp_msm2(params, glv, pts.data(), sc.data(), npts, outLR);
+    // ---- R over [G[0:nB2] | G[nB:nB+nB2] | H[nB2:nB] | H[nB+nB2:2nB] | Q]
+    memcpy(&pts[0], G, slice * sizeof(u64));
+    memcpy(&pts[slice], G + nB * 3 * L, slice * sizeof(u64));
+    memcpy(&pts[2 * slice], H + nB2 * 3 * L, slice * sizeof(u64));
+    memcpy(&pts[3 * slice], H + (nB + nB2) * 3 * L, slice * sizeof(u64));
+    for (u64 i = 0; i < nB2; i++) {
+        const u64* aR = a + (nB2 + i) * Lr;
+        const u64* bL = b + i * Lr;
+        triple(fG ? fG + i * Lr : 0, uAim, aR, &sc[i * Lr]);
+        triple(fG ? fG + (nB + i) * Lr : 0, uAm, aR, &sc[(nB2 + i) * Lr]);
+        triple(fH ? fH + (nB2 + i) * Lr : 0, uAm, bL,
+               &sc[(2 * nB2 + i) * Lr]);
+        triple(fH ? fH + (nB + nB2 + i) * Lr : 0, uAim, bL,
+               &sc[(3 * nB2 + i) * Lr]);
+    }
+    memcpy(&sc[2 * nB * Lr], cr, Lr * sizeof(u64));
+    bp_msm2(params, glv, pts.data(), sc.data(), npts, outLR + 3 * L);
 }
 
 void bp_scalar_mul_batch(const u64* params, const u64* P, const u64* k,
