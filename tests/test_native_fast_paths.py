@@ -70,10 +70,13 @@ def test_native_keccak_matches_python(rng):
 
 
 @pytest.mark.parametrize("cname", ["bls381", "secp256k1", "ed25519"])
-@pytest.mark.parametrize("n", [2, 8, 64])
+@pytest.mark.parametrize("n", [2, 4, 8, 64, 128])
 def test_native_ipp_rounds_byte_identical(cname, n, rng):
-    """create_ipp through the native-resident round loop (cpp backend) vs
-    the generic Python loop (host backend): identical L/R/a/b."""
+    """create_ipp through the native-resident PAIRED round loop (cpp
+    backend: deferred base folds, bp_ipp_round_lr_exp + bp_fold4) vs the
+    generic Python loop (host backend): identical L/R/a/b.  n spans even
+    (64: 6 rounds) and odd (8, 128) round counts and the no-pair floor
+    (n=2, 4)."""
     with using_curve(CURVES[cname]):
         G = bp.get_generators("nipG", n)
         H = bp.get_generators("nipH", n)
