@@ -93,7 +93,7 @@ def main():
         pps = None
         if tpu_ok:
             mark("first device transfer")
-            P = ej.to_device_points(pts, ctx)
+            P, P_affine = ej.to_device_points_affine(pts, ctx)
             # scalars UNIFORM mod r (a modulo-biased top limb skews the
             # top window's bucket occupancy and triggers the occupancy
             # re-dispatch)
@@ -102,14 +102,14 @@ def main():
 
             mark("msm compile")
             t0 = time.time()
-            out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW)
+            out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW, affine=P_affine)
             compile_s = time.time() - t0
 
             mark("msm timed reps")
             times = []
             for _ in range(REPS):
                 t0 = time.time()
-                out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW)
+                out = msm_mod.msm_hybrid(P, s[None], ctx, WINDOW, affine=P_affine)
                 times.append(time.time() - t0)
             med = sorted(times)[len(times) // 2]
             pps = N / med

@@ -249,6 +249,44 @@ def to_device_points(points, ctx: CurveCtx):
                          (2, 0, 1))
 
 
+def to_device_points_affine(points, ctx: CurveCtx):
+    """list[ec_host.G1] -> ((3, L, n) Montgomery device array, is_affine).
+
+    Host-normalizes any projective (Z != 1) points with one batched
+    inversion so every table row has Z == 1 — the precondition for the
+    mixed-add bucket kernel (ops/ec_pallas.bucket_rounds_chunk_pallas_mixed,
+    RCB16 algorithm 8).  If the list contains the identity (which has no
+    affine encoding) is_affine is False and the array is the plain
+    projective conversion — callers fall back to the general kernel."""
+    if any(pt.Z == 0 for pt in points):
+        return to_device_points(points, ctx), False
+    if all(pt.Z == 1 for pt in points):
+        return to_device_points(points, ctx), True
+    p = ctx.cv.p
+    proj = [pt for pt in points if pt.Z != 1]
+    # batched inversion over F_p (Montgomery trick, host ints)
+    n = len(proj)
+    prefix = [1] * (n + 1)
+    for i, pt in enumerate(proj):
+        prefix[i + 1] = prefix[i] * pt.Z % p
+    acc = pow(prefix[n], -1, p)
+    zinv = [0] * n
+    for i in range(n - 1, -1, -1):
+        zinv[i] = prefix[i] * acc % p
+        acc = acc * proj[i].Z % p
+    from .ec_host import G1
+    norm = []
+    j = 0
+    for pt in points:
+        if pt.Z == 1:
+            norm.append(pt)
+        else:
+            zi = zinv[j]
+            j += 1
+            norm.append(G1(pt.X * zi % p, pt.Y * zi % p, 1, pt.cv))
+    return to_device_points(norm, ctx), True
+
+
 def from_device_points(P, ctx: CurveCtx):
     """(3, L, n) device array -> list[ec_host.G1] (projective, unreduced)."""
     from .ec_host import G1

@@ -162,6 +162,30 @@ def _add_kernel(ctx):
     return kernel
 
 
+def _ec_madd_2d(f, b3, X1, Y1, Z1, X2, Y2, mul=mont_mul):
+    """RCB16 complete MIXED add (a=0, Z2 == 1 implicit — algorithm 8):
+    11 multiplies instead of the general form's 12 and four fewer add/sub
+    chains.  Complete for any projective P1 (including the identity and
+    P1 == P2) and any AFFINE on-curve P2; callers guarantee the table is
+    affine (ops/ec_jax.to_device_points_affine)."""
+    t0 = mul(X1, X2, f)
+    t1 = mul(Y1, Y2, f)
+    xy = sub_mod(sub_mod(mul(add_mod(X1, Y1, f), add_mod(X2, Y2, f), f),
+                         t0, f), t1, f)
+    yz = add_mod(mul(Y2, Z1, f), Y1, f)
+    xz = add_mod(mul(X2, Z1, f), X1, f)
+    b3_t2 = mul_small(Z1, b3, f)
+    m = sub_mod(t1, b3_t2, f)
+    n = add_mod(t1, b3_t2, f)
+    X3 = sub_mod(mul(xy, m, f),
+                 mul_small(mul(yz, xz, f), b3, f), f)
+    Y3 = add_mod(mul(n, m, f),
+                 mul_small(mul(t0, xz, f), 3 * b3, f), f)
+    Z3 = add_mod(mul(yz, n, f),
+                 mul_small(mul(t0, xy, f), 3, f), f)
+    return X3, Y3, Z3
+
+
 def _round_kernel_mxu(ctx, L):
     """MXU-REDC variant of the fused bucket-round kernel: same structure,
     Montgomery multiplies route their fixed-operand REDC halves through
@@ -355,6 +379,72 @@ def bucket_rounds_chunk_pallas(buckets, rows, found, ctx):
         interpret=_interpret(),
     )(buckets[0], buckets[1], buckets[2], rows,
       found.astype(jnp.int32), mod, one_m)
+    return jnp.stack([X3, Y3, Z3], axis=0)
+
+
+def _rounds_chunk_kernel_mixed(ctx, L):
+    """Mixed-add variant of the chunked round body: rows carry only the
+    affine (X, Y) delta coordinates — (T, 2L) instead of (T, 3L), 33% less
+    gather/HBM traffic — and the add is the 11-mul complete mixed form.
+    Empty slots POST-select the old accumulator instead of adding the
+    identity (the mixed form has no projective identity encoding)."""
+    def kernel(xb, yb, zb, rows, found, mod_ref, ox, oy, oz):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _init():
+            ox[:] = xb[:]
+            oy[:] = yb[:]
+            oz[:] = zb[:]
+
+        with _kernel_unroll():
+            f = _shim(ctx, mod_ref[:])
+            rr = rows[:]                      # (T, 2L) affine delta coords
+            dx = rr[:, 0:L].T
+            dy = rr[:, L:2 * L].T
+            ok = found[:]                     # (1, T)
+            X1, Y1, Z1 = ox[:], oy[:], oz[:]
+            X3, Y3, Z3 = _ec_madd_2d(f, ctx.b3, X1, Y1, Z1, dx, dy)
+        ox[:] = jnp.where(ok != 0, X3, X1)
+        oy[:] = jnp.where(ok != 0, Y3, Y1)
+        oz[:] = jnp.where(ok != 0, Z3, Z1)
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3,))
+def bucket_rounds_chunk_pallas_mixed(buckets, rows, found, ctx):
+    """R_c bucket rounds in ONE pallas_call, mixed-add form.
+
+    buckets (3, L, S) Montgomery accumulators; rows (R_c*S, 2L) gathered
+    AFFINE delta rows (X, Y Montgomery), round-major; found (R_c, S) int32
+    occupancy mask -> updated buckets after all R_c rounds.
+    """
+    L = buckets.shape[1]
+    S = buckets.shape[2]
+    R_c = found.shape[0]
+    tile = _pick_tile(S)
+    assert tile is not None, "slot count must divide by a pallas tile"
+    n_tiles = S // tile
+    grid = (n_tiles, R_c)                     # rounds INNERMOST
+    cspec = pl.BlockSpec((L, tile), lambda i, r: (0, i),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((tile, 2 * L), lambda i, r: (r * n_tiles + i, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, tile), lambda i, r: (r, i),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((L, 1), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM)
+    mod = jnp.asarray(ctx.fp.mod)
+    shape = jax.ShapeDtypeStruct((L, S), buckets.dtype)
+    X3, Y3, Z3 = pl.pallas_call(
+        _rounds_chunk_kernel_mixed(ctx, L),
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[cspec, cspec, cspec, rspec, fspec, mspec],
+        out_specs=(cspec, cspec, cspec),
+        interpret=_interpret(),
+    )(buckets[0], buckets[1], buckets[2], rows,
+      found.astype(jnp.int32), mod)
     return jnp.stack([X3, Y3, Z3], axis=0)
 
 

@@ -50,11 +50,13 @@ class _ConvCache:
         self.max_entries = max_entries
 
     def get(self, points, ctx):
+        """Returns (device_array, is_affine) — affine tables qualify for
+        the mixed-add bucket kernel (ops/ec_pallas)."""
         key = content_digest(points, ctx)
         hit = self.entries.get(key)
         if hit is not None:
             return hit
-        dev = ej.to_device_points(points, ctx)
+        dev = ej.to_device_points_affine(points, ctx)
         if len(self.entries) >= self.max_entries:
             self.entries.clear()
         self.entries[key] = dev
@@ -76,10 +78,10 @@ class JaxBackend:
         if not points:
             return G1.identity()
         ctx = self._ctx(points)
-        P = self._gen_cache.get(points, ctx)
+        P, affine = self._gen_cache.get(points, ctx)
         s = ej.to_device_scalars(scalars, ctx)
         c = msm_mod.pick_window(len(points))
-        out = msm_mod.msm_device(P, s, ctx, c)
+        out = msm_mod.msm_device(P, s, ctx, c, affine=affine)
         return ej.from_device_points(out, ctx)[0]
 
     def fold_points(self, P_L, P_R, s1, s2):

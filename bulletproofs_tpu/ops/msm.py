@@ -263,7 +263,7 @@ def _fold_dup_rows(buckets, ctx, dup_plan, W_base):
 
 
 def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
-                      k_slices=1, plan=None, pre_reduce=0):
+                      k_slices=1, plan=None, pre_reduce=0, affine=False):
     """points (3, L, n) Montgomery, digits (W, n) -> (buckets (3, L, W, B),
     occ) where occ is the true max occupancy under `plan` after
     `pre_reduce` passes (callers verify n_rounds >= occ and re-dispatch
@@ -380,22 +380,35 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
         use_pallas = bucket_round_supported(ctx, W * B)
 
     if use_pallas and choice == "pallas":
-        from .ec_pallas import bucket_rounds_chunk_pallas
+        from .ec_pallas import (bucket_rounds_chunk_pallas,
+                                bucket_rounds_chunk_pallas_mixed)
 
         S = W * B
         R_c = _chunk_rounds(n_rounds)
         n_chunks = n_rounds // R_c
         grid_c = grid.reshape(n_chunks, R_c, W, B)
         found_c = found.reshape(n_chunks, R_c, S)
+        # Mixed-add fast path: rows straight from an AFFINE table (Z == 1
+        # guaranteed by the caller; pre-reduce passes merge rows into
+        # projective points, so they disqualify) carry only (X, Y) — 2L
+        # columns instead of 3L — and the kernel runs the 11-mul complete
+        # mixed add (RCB16 alg 8) with empty-slot post-select.
+        mixed = affine and pre_reduce == 0
+        if mixed:
+            points_rows = jnp.transpose(
+                points[:2], (2, 0, 1)).reshape(n, 2 * L)
 
         def chunk_body(ci, buckets):
             pid = jnp.minimum(jax.lax.dynamic_index_in_dim(
                 grid_c, ci, 0, keepdims=False), n - 1)     # (R_c, W, B)
             if w_off is not None:
                 pid = pid + w_off[None]
-            rows = points_rows[pid.reshape(-1)]            # (R_c*S, 3L)
+            rows = points_rows[pid.reshape(-1)]      # (R_c*S, 3L | 2L)
             fnd = jax.lax.dynamic_index_in_dim(
                 found_c, ci, 0, keepdims=False)            # (R_c, S)
+            if mixed:
+                return bucket_rounds_chunk_pallas_mixed(buckets, rows,
+                                                        fnd, ctx)
             return bucket_rounds_chunk_pallas(buckets, rows, fnd, ctx)
 
         buckets = jax.lax.fori_loop(0, n_chunks, chunk_body,
@@ -597,15 +610,16 @@ def occupancy_guess(n, ctx, c, margin_sigma=4.0, dup=None):
     return max(16, (int(guess) + 15) // 16 * 16)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _msm_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
-                    pre_reduce=0):
+                    pre_reduce=0, affine=False):
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
     plan = window_plan(ctx, c, dup=_use_dup())
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
-                                     plan=plan, pre_reduce=pre_reduce)
+                                     plan=plan, pre_reduce=pre_reduce,
+                                     affine=affine)
     return combine_buckets(buckets, ctx, c), occ
 
 
@@ -617,9 +631,9 @@ def _digits_multi(scalars, ctx, c):
     return jnp.concatenate(digs, axis=0)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _msm_multi_totals_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
-                          pre_reduce=0):
+                          pre_reduce=0, affine=False):
     """S scalar sets against one point vector in ONE bucket pass (the two
     L/R MSMs of an IPA round share the point table and the round grid).
     Returns (per-window totals (3, L, S*W) in PLAIN form, occ) as ONE
@@ -632,7 +646,8 @@ def _msm_multi_totals_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds,
     digits = _digits_multi(scalars, ctx, c)
     plan = window_plan(ctx, c, n_sets=S, dup=_use_dup())
     buckets, occ = bucket_accumulate(points, digits, ctx, c, n_rounds,
-                                     plan=plan, pre_reduce=pre_reduce)
+                                     plan=plan, pre_reduce=pre_reduce,
+                                     affine=affine)
     rowsum, colsum = bucket_rowcol(buckets, ctx, c)
     totals = window_totals(rowsum, colsum, ctx, c)       # (3, L, S*W)
     L = ctx.fp.L
@@ -658,7 +673,7 @@ def _msm_multi_device_jit(points, scalars, ctx: CurveCtx, c: int, n_rounds):
 
 
 def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
-               n_eff: int = None):
+               n_eff: int = None, affine: bool = False):
     """Multi-set MSM with the serial combine tail on the native host:
     points (3, L, n) Montgomery device, scalars (S, Lr, n) plain device ->
     list of S host G1 results.
@@ -690,7 +705,7 @@ def msm_hybrid(points_dev, scalars_multi, ctx: CurveCtx, c: int = None,
     while True:
         with _timed("msm_kernel"):
             totals_dev, occ_dev = _msm_multi_totals_jit(
-                points_dev, scalars_multi, ctx, c, rounds, pre)
+                points_dev, scalars_multi, ctx, c, rounds, pre, affine)
         with _timed("msm_transfer"):
             # ONE device->host fetch for (totals, occupancy): a separate
             # occupancy sync costs a full extra tunnel round trip per MSM
@@ -727,7 +742,7 @@ def _limbs16_to_limbs64(arr, Lp64):
     return np.ascontiguousarray(words).view(np.uint64).reshape(-1)
 
 
-def msm_device(points, scalars, ctx: CurveCtx, c: int):
+def msm_device(points, scalars, ctx: CurveCtx, c: int, affine=False):
     """points (3, L, n) Montgomery, scalars (Lr, n) plain limbs -> (3, L, 1).
 
     Guess-and-verify round count: the STATIC round count comes from the
@@ -738,7 +753,8 @@ def msm_device(points, scalars, ctx: CurveCtx, c: int):
     rounds = occupancy_guess(points.shape[2], ctx, c)
     pre = 0
     while True:
-        out, occ = _msm_device_jit(points, scalars, ctx, c, rounds, pre)
+        out, occ = _msm_device_jit(points, scalars, ctx, c, rounds, pre,
+                                   affine)
         occ = int(occ)
         if occ <= rounds:
             return out
@@ -761,10 +777,11 @@ def _escalate(occ, rounds, pre):
 
 def msm(points, scalars, cv=None):
     """Host wrapper: list[G1] x list[Scalar] -> G1 (one device round trip)."""
+    from .ec_jax import to_device_points_affine
     assert len(points) == len(scalars) and points
     ctx = CurveCtx(cv or points[0].cv)
-    P = to_device_points(points, ctx)
+    P, affine = to_device_points_affine(points, ctx)
     s = to_device_scalars(scalars, ctx)
     c = pick_window(len(points))
-    out = msm_device(P, s, ctx, c)
+    out = msm_device(P, s, ctx, c, affine=affine)
     return from_device_points(out, ctx)[0]

@@ -377,7 +377,7 @@ def _ipa_round_update(A, B, rG, rH, u_m, u_inv_m, n_j, fr):
 
 
 def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
-                        window=None):
+                        window=None, affine=False):
     """Device IPA prover with implicit basis folding.
 
     pts_dev: (3, L, 2n+2) device table [G | H | Q | identity] (Montgomery).
@@ -402,7 +402,8 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
             or msm_mod.pick_window(2 * n + 2)
         with _timed("ipa_msm"):
             # each set has <= n+1 non-zero scalars (the masked half is 0)
-            L, R = msm_mod.msm_hybrid(pts_dev, scal2, ctx, c, n_eff=n + 1)
+            L, R = msm_mod.msm_hybrid(pts_dev, scal2, ctx, c, n_eff=n + 1,
+                                      affine=affine)
         with _timed("ipa_transcript"):
             transcript.commit_point(b"L", L)
             transcript.commit_point(b"R", R)
@@ -430,12 +431,19 @@ def create_ipp_device(transcript, Q, G_factors, H_factors, G_vec, H_vec,
     from ..config import curve
     ctx = ej.CurveCtx(curve())
     fr = ctx.fr
+    Gd, affG = _pts_cache.get(list(G_vec), ctx)
+    Hd, affH = _pts_cache.get(list(H_vec), ctx)
+    Qd, affQ = ej.to_device_points_affine([Q], ctx)
+    # the identity padding column is safe under the mixed-add kernel: its
+    # scalars are always zero, so it is never scheduled into a bucket
+    # round (digit-0 exclusion) — only gathered for empty slots, whose
+    # result is post-selected away
     pts = jnp.concatenate(
-        [_pts_cache.get(list(G_vec), ctx), _pts_cache.get(list(H_vec), ctx),
-         ej.to_device_points([Q], ctx), jnp.asarray(ctx.identity)], axis=2)
+        [Gd, Hd, Qd, jnp.asarray(ctx.identity)], axis=2)
     return create_ipp_implicit(
         transcript, _mont(fr, G_factors), _mont(fr, H_factors), pts,
-        _mont(fr, a_vec), _mont(fr, b_vec), ctx)
+        _mont(fr, a_vec), _mont(fr, b_vec), ctx,
+        affine=affG and affH and affQ)
 
 
 # ---------------------------------------------------------------------------
@@ -455,13 +463,15 @@ class _PtsCache:
         self.max = max_entries
 
     def get(self, points, ctx):
+        """Returns (device_array, is_affine): affine tables qualify for the
+        mixed-add bucket kernel (ops/ec_pallas)."""
         from .jax_backend import content_digest
         key = content_digest(points, ctx)
         hit = self.entries.get(key)
         if hit is None:
             if len(self.entries) >= self.max:
                 self.entries.clear()
-            hit = self.entries[key] = ej.to_device_points(points, ctx)
+            hit = self.entries[key] = ej.to_device_points_affine(points, ctx)
         return hit
 
 
@@ -541,7 +551,8 @@ def _bit_structure(vals, r):
     return "bits" if bits else "negbits"
 
 
-def _phase_commitments(aL, aR, aO, blinds, s_L, s_R, pts, h, ctx, fr):
+def _phase_commitments(aL, aR, aO, blinds, s_L, s_R, pts, h, ctx, fr,
+                       affine=False):
     """A_I / A_O / S commitments for one phase (`prover.rs:336-366`).
     pts: (3, L, 2n+1) device table [G_n | H_n | h].
 
@@ -566,7 +577,7 @@ def _phase_commitments(aL, aR, aO, blinds, s_L, s_R, pts, h, ctx, fr):
             _plain_scalars(aL + aR + [i_blind], fr),
             _plain_scalars(aO + zero_n + [o_blind], fr),
             _plain_scalars(s_L + s_R + [s_blind], fr)], axis=0)
-        return msm_mod.msm_hybrid(pts, sets, ctx)
+        return msm_mod.msm_hybrid(pts, sets, ctx, affine=affine)
 
     def bitmask(vals):
         return [1 if (v.v if hasattr(v, "v") else int(v)) else 0
@@ -587,7 +598,8 @@ def _phase_commitments(aL, aR, aO, blinds, s_L, s_R, pts, h, ctx, fr):
     A_I = g_sum + h_sum + bh
     A_O = o_sum + bo
     (S,) = msm_mod.msm_hybrid(
-        pts, _plain_scalars(s_L + s_R + [s_blind], fr)[None], ctx)
+        pts, _plain_scalars(s_L + s_R + [s_blind], fr)[None], ctx,
+        affine=affine)
     return A_I, A_O, S
 
 
@@ -624,14 +636,16 @@ def prove_device(prover, G, H):
     # structured-witness masked sums + one random-set MSM, or the 3-set
     # hybrid MSM for general witnesses (_phase_commitments).
     with _timed("phase1_convert"):
-        pts1 = jnp.concatenate(
-            [_pts_cache.get(G[:n1], ctx), _pts_cache.get(H[:n1], ctx),
-             ej.to_device_points([prover.h], ctx)], axis=2)
+        Gd1, affG1 = _pts_cache.get(G[:n1], ctx)
+        Hd1, affH1 = _pts_cache.get(H[:n1], ctx)
+        hd, affh = ej.to_device_points_affine([prover.h], ctx)
+        pts1 = jnp.concatenate([Gd1, Hd1, hd], axis=2)
     with _timed("phase1_msm"):
         A_I1, A_O1, S1 = _phase_commitments(
             prover.a_L, prover.a_R, prover.a_O,
             (i_blinding1, o_blinding1, s_blinding1),
-            s_L1, s_R1, pts1, prover.h, ctx, fr)
+            s_L1, s_R1, pts1, prover.h, ctx, fr,
+            affine=affG1 and affH1 and affh)
 
     tr.commit_point(b"A_I1", A_I1)
     tr.commit_point(b"A_O1", A_O1)
@@ -657,13 +671,15 @@ def prove_device(prover, G, H):
     s_R2 = random_scalars(n2, rng)
 
     if has_phase2:
-        pts2 = jnp.concatenate(
-            [_pts_cache.get(G[n1:n], ctx), _pts_cache.get(H[n1:n], ctx),
-             ej.to_device_points([prover.h], ctx)], axis=2)
+        Gd2, affG2 = _pts_cache.get(G[n1:n], ctx)
+        Hd2, affH2 = _pts_cache.get(H[n1:n], ctx)
+        hd2, affh2 = ej.to_device_points_affine([prover.h], ctx)
+        pts2 = jnp.concatenate([Gd2, Hd2, hd2], axis=2)
         A_I2, A_O2, S2 = _phase_commitments(
             prover.a_L[n1:], prover.a_R[n1:], prover.a_O[n1:],
             (i_blinding2, o_blinding2, s_blinding2),
-            s_L2, s_R2, pts2, prover.h, ctx, fr)
+            s_L2, s_R2, pts2, prover.h, ctx, fr,
+            affine=affG2 and affH2 and affh2)
     else:
         ident = type(prover.g).identity(cv)
         A_I2 = A_O2 = S2 = ident
@@ -756,13 +772,16 @@ def prove_device(prover, G, H):
     Gf_m = jnp.concatenate([one_col, u_cols], axis=-1)
     Hf_m = fj.mont_mul(y_inv_pows, Gf_m, fr)
 
+    Gdi, affGi = _pts_cache.get(G[:padded_n], ctx)
+    Hdi, affHi = _pts_cache.get(H[:padded_n], ctx)
+    Qdi, affQi = ej.to_device_points_affine([Q], ctx)
+    # identity column: zero scalars, never scheduled (safe under mixed-add)
     pts_ipa = jnp.concatenate(
-        [_pts_cache.get(G[:padded_n], ctx), _pts_cache.get(H[:padded_n], ctx),
-         ej.to_device_points([Q], ctx),
-         jnp.asarray(ctx.identity)], axis=2)
+        [Gdi, Hdi, Qdi, jnp.asarray(ctx.identity)], axis=2)
 
     L_vec, R_vec, a_fin, b_fin = create_ipp_implicit(
-        tr, Gf_m, Hf_m, pts_ipa, l_vec, r_vec, ctx)
+        tr, Gf_m, Hf_m, pts_ipa, l_vec, r_vec, ctx,
+        affine=affGi and affHi and affQi)
     from .. import ipp as ipp_mod
     ipp_proof = ipp_mod.InnerProductArgumentProof(
         L=L_vec, R=R_vec, a=a_fin, b=b_fin)

@@ -48,6 +48,24 @@ def device_verify_available(n_hint):
     return getattr(be, "name", "") == "jax"
 
 
+def _affine_or_zero(points, vals, ctx, dummy):
+    """Sanitize PROOF-SUPPLIED points for the mixed-add bucket kernel:
+    identity points (no affine encoding, e.g. A_I2/A_O2/S2 of a 1-phase
+    proof) are replaced by the affine `dummy` with scalar 0 — the MSM sum
+    is unchanged (identity*s == dummy*0) and the table stays affine.
+    Returns (device_pts, vals, is_affine)."""
+    pts2, vals2 = [], []
+    for p, v in zip(points, vals):
+        if p.is_identity():
+            pts2.append(dummy)
+            vals2.append(0)
+        else:
+            pts2.append(p)
+            vals2.append(v)
+    dev, aff = ej.to_device_points_affine(pts2, ctx)
+    return dev, vals2, aff
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _s_vector_kernel(u_sq_stack, prod_inv_m, lg_n, fr):
     """u_sq_stack (Lr, lg_n) Montgomery u_j^2 (round order), prod_inv (Lr,1)
@@ -132,16 +150,19 @@ def verify_ipp_device(n, transcript, G_factors, H_factors, P_pt, Q, G, H,
 
     head = [a * b]
     tail = [-t for t in u_sq] + [-t for t in u_inv_sq]
-    head_plain = jnp.asarray(fj.ints_to_limbs(
-        [v.v for v in head + tail], fr.L))
+    Gd, affG = _pts_cache.get(list(G), ctx)
+    Hd, affH = _pts_cache.get(list(H), ctx)
+    ht_dev, ht_vals, aff_ht = _affine_or_zero(
+        [Q] + list(L_vec) + list(R_vec), [v.v for v in head + tail],
+        ctx, G[0])
+    head_plain = jnp.asarray(fj.ints_to_limbs(ht_vals, fr.L))
     scal = jnp.concatenate(
         [head_plain[:, :1], g_plain, h_plain, head_plain[:, 1:]],
         axis=-1)[None]
     pts = jnp.concatenate(
-        [ej.to_device_points([Q], ctx),
-         _pts_cache.get(list(G), ctx), _pts_cache.get(list(H), ctx),
-         ej.to_device_points(list(L_vec) + list(R_vec), ctx)], axis=2)
-    expected = msm_mod.msm_hybrid(pts, scal, ctx)[0]
+        [ht_dev[:, :, :1], Gd, Hd, ht_dev[:, :, 1:]], axis=2)
+    expected = msm_mod.msm_hybrid(pts, scal, ctx,
+                                  affine=affG and affH and aff_ht)[0]
     if expected != P_pt:
         raise VerificationError("IPA check failed")
 
@@ -292,18 +313,19 @@ def verify_device(verifier, proof, g, h, G, H):
     tail_pts = list(proof.ipp_proof.L) + list(proof.ipp_proof.R)
 
     # assemble the device mega-MSM: [head | G | H | L | R]
-    head_plain = jnp.asarray(fj.ints_to_limbs(
-        [v.v for v in head + tail], fr.L))
     nh = len(head)
+    ht_dev, ht_vals, aff_ht = _affine_or_zero(
+        head_pts + tail_pts, [v.v for v in head + tail], ctx, g)
+    Gd, affG = _pts_cache.get(G[:padded_n], ctx)
+    Hd, affH = _pts_cache.get(H[:padded_n], ctx)
+    head_plain = jnp.asarray(fj.ints_to_limbs(ht_vals, fr.L))
     scal = jnp.concatenate(
         [head_plain[:, :nh], g_plain, h_plain, head_plain[:, nh:]],
         axis=-1)[None]                               # (1, Lr, total)
     pts = jnp.concatenate(
-        [ej.to_device_points(head_pts, ctx),
-         _pts_cache.get(G[:padded_n], ctx), _pts_cache.get(H[:padded_n], ctx),
-         ej.to_device_points(tail_pts, ctx) if tail_pts else
-         jnp.zeros((3, ctx.fp.L, 0), jnp.uint32)], axis=2)
+        [ht_dev[:, :, :nh], Gd, Hd, ht_dev[:, :, nh:]], axis=2)
 
-    res = msm_mod.msm_hybrid(pts, scal, ctx)[0]
+    res = msm_mod.msm_hybrid(pts, scal, ctx,
+                             affine=aff_ht and affG and affH)[0]
     if not res.is_identity():
         raise VerificationError("R1CS proof verification failed")
