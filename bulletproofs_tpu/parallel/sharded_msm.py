@@ -86,22 +86,25 @@ def _allreduce_buckets(buckets, ctx, axis):
 
 
 def msm_sharded(points, scalars, ctx: CurveCtx, c: int, axis=AXIS,
-                n_rounds=16):
+                n_rounds=16, affine=False):
     """shard_map body: points (3, L, n_local), scalars (Lr, n_local) are the
-    LOCAL shards; returns the replicated (3, L, 1) total."""
+    LOCAL shards; returns the replicated (3, L, 1) total.  affine=True
+    opts into the mixed-add bucket kernel (the identity/zero padding from
+    `_pad_to_multiple` is safe: zero scalars are never scheduled)."""
     n_bits = ctx.cv.fr.n_bits
     W = -(-n_bits // c)
     digits = fj.get_digits(scalars, c, W)
     plan = msm_mod.window_plan(ctx, c)
     buckets, _ = msm_mod.bucket_accumulate(points, digits, ctx, c, n_rounds,
-                                           plan=plan)
+                                           plan=plan, affine=affine)
     buckets = _allreduce_buckets(buckets, ctx, axis)
     return msm_mod.combine_buckets(buckets, ctx, c)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _msm_sharded_jit(points, scalars, ctx, c, mesh, n_rounds):
-    body = partial(msm_sharded, ctx=ctx, c=c, axis=AXIS, n_rounds=n_rounds)
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _msm_sharded_jit(points, scalars, ctx, c, mesh, n_rounds, affine=False):
+    body = partial(msm_sharded, ctx=ctx, c=c, axis=AXIS, n_rounds=n_rounds,
+                   affine=affine)
     return jax.shard_map(
         body,
         mesh=mesh,
@@ -111,7 +114,8 @@ def _msm_sharded_jit(points, scalars, ctx, c, mesh, n_rounds):
     )(points, scalars)
 
 
-def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
+def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh,
+                    affine=False):
     """points (3, L, n) / scalars (Lr, n) global arrays (any n — padded to
     the mesh size with identity/zero); output is the replicated MSM total
     (3, L, 1).
@@ -130,7 +134,7 @@ def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
         rounds = max(rounds, int(msm_mod._max_occupancy(
             scalars[:, k * ns:(k + 1) * ns], ctx, c)))
     rounds = (rounds + 7) // 8 * 8
-    return _msm_sharded_jit(points, scalars, ctx, c, mesh, rounds)
+    return _msm_sharded_jit(points, scalars, ctx, c, mesh, rounds, affine)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +142,7 @@ def msm_sharded_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def msm_sharded_2d(points, scalars, ctx: CurveCtx, c: int,
-                   n_rounds=16):
+                   n_rounds=16, affine=False):
     """shard_map body on a (host, chip) mesh: local bucket accumulation,
     then HIERARCHICAL bucket reduction — butterfly over the chip axis first
     (intra-host ICI), then over the host axis (cross-host DCN).  The DCN
@@ -151,15 +155,17 @@ def msm_sharded_2d(points, scalars, ctx: CurveCtx, c: int,
     digits = fj.get_digits(scalars, c, W)
     plan = msm_mod.window_plan(ctx, c)
     buckets, _ = msm_mod.bucket_accumulate(points, digits, ctx, c, n_rounds,
-                                           plan=plan)
+                                           plan=plan, affine=affine)
     buckets = _allreduce_buckets(buckets, ctx, CHIP_AXIS)   # ICI stage
     buckets = _allreduce_buckets(buckets, ctx, HOST_AXIS)   # DCN stage
     return msm_mod.combine_buckets(buckets, ctx, c)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _msm_sharded_2d_jit(points, scalars, ctx, c, mesh, n_rounds):
-    body = partial(msm_sharded_2d, ctx=ctx, c=c, n_rounds=n_rounds)
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _msm_sharded_2d_jit(points, scalars, ctx, c, mesh, n_rounds,
+                        affine=False):
+    body = partial(msm_sharded_2d, ctx=ctx, c=c, n_rounds=n_rounds,
+                   affine=affine)
     return jax.shard_map(
         body,
         mesh=mesh,
@@ -170,7 +176,8 @@ def _msm_sharded_2d_jit(points, scalars, ctx, c, mesh, n_rounds):
     )(points, scalars)
 
 
-def msm_sharded_2d_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
+def msm_sharded_2d_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh,
+                       affine=False):
     """2-D-mesh MSM: n sharded over host x chip jointly, hierarchical
     ICI-then-DCN bucket reduction.  Any n (padded)."""
     d = mesh.devices.size
@@ -182,4 +189,4 @@ def msm_sharded_2d_jit(points, scalars, ctx: CurveCtx, c: int, mesh: Mesh):
         rounds = max(rounds, int(msm_mod._max_occupancy(
             scalars[:, k * ns:(k + 1) * ns], ctx, c)))
     rounds = (rounds + 7) // 8 * 8
-    return _msm_sharded_2d_jit(points, scalars, ctx, c, mesh, rounds)
+    return _msm_sharded_2d_jit(points, scalars, ctx, c, mesh, rounds, affine)
