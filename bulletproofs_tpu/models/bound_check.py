@@ -41,20 +41,18 @@ def prove_bounded_num(val: int, randomness, lower: int, upper: int,
     a = val - lower
     b = upper - val
 
-    comms = []
-    com_v, var_v = prover.commit(
-        Scalar(val),
-        randomness if randomness is not None else Scalar.random(rng))
+    # blindings drawn in the same rng order as sequential commits
+    # (commit itself never touches the rng), then all three Pedersen
+    # commitments ride one batched fold — proof bytes unchanged
+    r_v = randomness if randomness is not None else Scalar.random(rng)
+    r_a = Scalar.random(rng)
+    r_b = Scalar.random(rng)
+    (com_v, var_v), (com_a, var_a), (com_b, var_b) = prover.commit_many(
+        [Scalar(val), Scalar(a), Scalar(b)], [r_v, r_a, r_b])
     qty_v = AllocatedQuantity(var_v, Scalar(val))
-    comms.append(com_v)
-
-    com_a, var_a = prover.commit(Scalar(a), Scalar.random(rng))
     qty_a = AllocatedQuantity(var_a, Scalar(a))
-    comms.append(com_a)
-
-    com_b, var_b = prover.commit(Scalar(b), Scalar.random(rng))
     qty_b = AllocatedQuantity(var_b, Scalar(b))
-    comms.append(com_b)
+    comms = [com_v, com_a, com_b]
 
     bound_check_gadget(prover, qty_v, qty_a, qty_b, upper, lower,
                        max_bits_in_val)

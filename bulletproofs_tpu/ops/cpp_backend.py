@@ -200,6 +200,9 @@ class _CurveABI:
         return blk
 
     def scalars_to_buf(self, scalars):
+        if isinstance(scalars, np.ndarray):
+            # prebuilt plain-limb buffer (e.g. bp_prove_polys_eval output)
+            return scalars
         nb = self.Lr * 8
         r = self.cv.r
         buf = bytearray(len(scalars) * nb)
@@ -210,9 +213,55 @@ class _CurveABI:
             i += nb
         return np.frombuffer(bytes(buf), dtype=np.uint64)
 
+    def buf_to_ints(self, buf, n):
+        raw = np.ascontiguousarray(buf).tobytes()
+        nb = self.Lr * 8
+        return [int.from_bytes(raw[i * nb:(i + 1) * nb], "little")
+                for i in range(n)]
+
 
 def _ptr(arr):
     return arr.ctypes.data_as(_u64p)
+
+
+def prove_polys_t(aL, aR, aO, sL, sR, wL, wR, wO, y, y_inv, cv):
+    """Native t-poly pass (`bp_prove_polys_t`): returns (t1..t6 as plain
+    ints, scratch buffer holding the per-element l1/r0/r1/r3 coefficients
+    for the later x-evaluation pass)."""
+    abi = _CurveABI(cv)
+    lib = get_lib()
+    n = len(aL)
+    Lr = abi.Lr
+    bufs = [abi.scalars_to_buf(v)
+            for v in (aL, aR, aO, sL, sR, wL, wR, wO)]
+    ybuf = abi.scalars_to_buf([y])
+    yibuf = abi.scalars_to_buf([y_inv])
+    t_out = np.zeros(6 * Lr, dtype=np.uint64)
+    scratch = np.zeros((n * 4 + 1) * Lr, dtype=np.uint64)
+    lib.bp_prove_polys_t(
+        _ptr(abi.rparams), *[_ptr(b) for b in bufs], _ptr(ybuf),
+        _ptr(yibuf), ctypes.c_uint64(n), _ptr(t_out), _ptr(scratch))
+    return abi.buf_to_ints(t_out, 6), scratch
+
+
+def prove_polys_eval(scratch, aO, sL, x, y, n, padded_n, cv):
+    """Native l(x)/r(x) evaluation pass (`bp_prove_polys_eval`): returns
+    (l_buf, r_buf) as plain-limb numpy buffers that feed create_ipp_rounds
+    without any Python-side Scalar materialization."""
+    abi = _CurveABI(cv)
+    lib = get_lib()
+    Lr = abi.Lr
+    aObuf = abi.scalars_to_buf(aO)
+    sLbuf = abi.scalars_to_buf(sL)
+    xbuf = abi.scalars_to_buf([x])
+    ybuf = abi.scalars_to_buf([y])
+    l_out = np.zeros(padded_n * Lr, dtype=np.uint64)
+    r_out = np.zeros(padded_n * Lr, dtype=np.uint64)
+    lib.bp_prove_polys_eval(
+        _ptr(abi.rparams), _ptr(scratch), _ptr(aObuf), _ptr(sLbuf),
+        _ptr(xbuf), _ptr(ybuf), ctypes.c_uint64(n),
+        ctypes.c_uint64(padded_n), _ptr(l_out), _ptr(r_out))
+    return l_out, r_out
 
 
 def create_ipp_rounds(transcript, Q, G_factors, H_factors, G_vec, H_vec,
@@ -447,15 +496,27 @@ class CppBackend:
         n = len(P_L)
         abi = self._abi(P_L)
         lib = get_lib()
-        s1 = s1 if isinstance(s1, (list, tuple)) else [s1] * n
-        s2 = s2 if isinstance(s2, (list, tuple)) else [s2] * n
-        out = np.zeros(n * 3 * abi.Lp, dtype=np.uint64)
+        s1 = list(s1) if isinstance(s1, (list, tuple)) else [s1] * n
+        s2 = list(s2) if isinstance(s2, (list, tuple)) else [s2] * n
+        # pad small batches to a full 8-lane IFMA group: the vertical
+        # engine's ladder costs ~the same for 8 lanes as the 1-way
+        # remainder path costs for ONE (zero-scalar pad lanes are free —
+        # they never extend the shared ladder length)
+        n_call = n
+        if 0 < n < 8:
+            pad = 8 - n
+            P_L = list(P_L) + [P_L[0]] * pad
+            P_R = list(P_R) + [P_R[0]] * pad
+            s1 = s1 + [0] * pad
+            s2 = s2 + [0] * pad
+            n_call = 8
+        out = np.zeros(n_call * 3 * abi.Lp, dtype=np.uint64)
         lib.bp_fold2(_ptr(abi.params), _ptr(abi.glv_block()),
                      _ptr(abi.points_to_buf(P_L)),
                      _ptr(abi.points_to_buf(P_R)),
                      _ptr(abi.scalars_to_buf(s1)),
                      _ptr(abi.scalars_to_buf(s2)),
-                     ctypes.c_uint64(n), _ptr(out))
+                     ctypes.c_uint64(n_call), _ptr(out))
         return abi.buf_to_points(out, n)
 
     def scalar_mul_batch(self, points, scalars):

@@ -65,6 +65,31 @@ class Prover(ConstraintSystem):
         self.transcript.commit_point(b"V", V)
         return V, Variable.committed(i)
 
+    def commit_many(self, vals, blindings):
+        """Batch Pedersen commits: same values, transcript order and rng
+        contract as sequential `commit` calls (proofs byte-identical), but
+        all g^v h^r folds ride ONE native x8 two-scalar fold — the 1-output
+        fold ladder costs ~0.9 ms while an 8-lane group costs about the
+        same for 8 (gadgets like bound_check commit 3 values back-to-back,
+        `bound_check.rs:41-92`)."""
+        vals = [Scalar(v) if isinstance(v, int) else v for v in vals]
+        blindings = list(blindings)
+        i0 = len(self.v)
+        be = get_backend(2)
+        if hasattr(be, "fold_points") and len(vals) > 1:
+            k = len(vals)
+            Vs = be.fold_points([self.g] * k, [self.h] * k, vals, blindings)
+        else:
+            Vs = [commit_to_field_element(self.g, self.h, v, r_)
+                  for v, r_ in zip(vals, blindings)]
+        out = []
+        for k, (v, r_, V) in enumerate(zip(vals, blindings, Vs)):
+            self.v.append(v)
+            self.v_blinding.append(r_)
+            self.transcript.commit_point(b"V", V)
+            out.append((V, Variable.committed(i0 + k)))
+        return out
+
     # ---- constraint system ----
     def eval(self, lc: LinearCombination) -> Scalar:
         r = self.g.cv.r
@@ -326,24 +351,39 @@ class Prover(ConstraintSystem):
 
         wL, wR, wO, wV = self._flattened_constraints(z)
 
-        # l(x), r(x) degree-3 vector polynomials  [prover.rs:458-486]
-        l_poly = VecPoly3(n)
-        r_poly = VecPoly3(n)
+        # l(x), r(x) degree-3 vector polynomials and the special inner
+        # product t(x) = <l(x), r(x)>  [prover.rs:458-486, 488]
         y_inv = y.inverse()
         exp_y_inv = vandermonde_vector(y_inv, padded_n)
-        exp_y = Scalar.one()
         sL = s_L1 + s_L2
         sR = s_R1 + s_R2
-        for i in range(n):
-            l_poly.c[1][i] = self.a_L[i] + exp_y_inv[i] * wR[i]
-            l_poly.c[2][i] = self.a_O[i]
-            l_poly.c[3][i] = sL[i]
-            r_poly.c[0][i] = wO[i] - exp_y
-            r_poly.c[1][i] = exp_y * self.a_R[i] + wL[i]
-            r_poly.c[3][i] = exp_y * sR[i]
-            exp_y = exp_y * y
-
-        t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
+        import os
+        be_ipa = get_backend(padded_n)
+        native_polys = (n > 0 and padded_n >= 2
+                        and getattr(be_ipa, "name", "") == "cpp"
+                        and os.environ.get("BP_NATIVE_POLYS", "1") != "0")
+        if native_polys:
+            # one native pass over plain-limb buffers (bp_prove_polys_t)
+            # instead of ~10n Python Scalar ops; bit-identical values
+            from ..ops import cpp_backend as _cb
+            cv = self.g.cv
+            t_ints, polys_scratch = _cb.prove_polys_t(
+                self.a_L, self.a_R, self.a_O, sL, sR, wL, wR, wO,
+                y, y_inv, cv)
+            t_poly = Poly6(*[Scalar(v, cv) for v in t_ints])
+        else:
+            l_poly = VecPoly3(n)
+            r_poly = VecPoly3(n)
+            exp_y = Scalar.one()
+            for i in range(n):
+                l_poly.c[1][i] = self.a_L[i] + exp_y_inv[i] * wR[i]
+                l_poly.c[2][i] = self.a_O[i]
+                l_poly.c[3][i] = sL[i]
+                r_poly.c[0][i] = wO[i] - exp_y
+                r_poly.c[1][i] = exp_y * self.a_R[i] + wL[i]
+                r_poly.c[3][i] = exp_y * sR[i]
+                exp_y = exp_y * y
+            t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
 
         t_1_blinding = Scalar.random(rng)
         t_3_blinding = Scalar.random(rng)
@@ -388,12 +428,19 @@ class Prover(ConstraintSystem):
 
         t_x = t_poly.eval(x)
         t_x_blinding = t_blinding_poly.eval(x)
-        l_vec = l_poly.eval(x) + [Scalar.zero()] * pad
-        r_vec = r_poly.eval(x)
-        # r_poly has -y^i constant terms even in the padding [prover.rs:530-535]
-        for _ in range(n, padded_n):
-            r_vec.append(-exp_y)
-            exp_y = exp_y * y
+        if native_polys:
+            # l(x)/r(x) straight into plain-limb buffers, incl. the -y^i
+            # padding rows [prover.rs:530-535] (bp_prove_polys_eval)
+            l_vec, r_vec = _cb.prove_polys_eval(
+                polys_scratch, self.a_O, sL, x, y, n, padded_n, cv)
+        else:
+            l_vec = l_poly.eval(x) + [Scalar.zero()] * pad
+            r_vec = r_poly.eval(x)
+            # r_poly has -y^i constant terms even in the padding
+            # [prover.rs:530-535]
+            for _ in range(n, padded_n):
+                r_vec.append(-exp_y)
+                exp_y = exp_y * y
 
         i_blinding = i_blinding1 + u * i_blinding2
         o_blinding = o_blinding1 + u * o_blinding2
@@ -414,9 +461,19 @@ class Prover(ConstraintSystem):
         G_factors = [one] * n1 + [u] * (n2 + pad)
         H_factors = [yi * uf for yi, uf in zip(exp_y_inv, G_factors)]
 
-        ipp_proof = ipp_mod.create_ipp(tr, Q, G_factors, H_factors,
-                                       G[:padded_n], H[:padded_n],
-                                       l_vec, r_vec)
+        if native_polys:
+            # l_vec/r_vec are already native plain-limb buffers — feed the
+            # native round loop directly (same transcript schedule as
+            # ipp.create_ipp's cpp path, which would be chosen anyway)
+            L_v, R_v, a_fin, b_fin = _cb.create_ipp_rounds(
+                tr, Q, G_factors, H_factors, G[:padded_n], H[:padded_n],
+                l_vec, r_vec)
+            ipp_proof = ipp_mod.InnerProductArgumentProof(
+                L=L_v, R=R_v, a=a_fin, b=b_fin)
+        else:
+            ipp_proof = ipp_mod.create_ipp(tr, Q, G_factors, H_factors,
+                                           G[:padded_n], H[:padded_n],
+                                           l_vec, r_vec)
 
         return R1CSProof(A_I1=A_I1, A_O1=A_O1, S1=S1, A_I2=A_I2, A_O2=A_O2,
                          S2=S2, T_1=T_1, T_3=T_3, T_4=T_4, T_5=T_5, T_6=T_6,

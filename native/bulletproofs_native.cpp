@@ -2570,6 +2570,111 @@ void bp_ipp_round_fold(const u64* params, const u64* rparams, const u64* glv,
     bp_fold2(params, glv, H, H + n2 * 3 * L, s1.data(), s2.data(), n2, H);
 }
 
+// ---------------------------------------------------------------------------
+// l(x)/r(x)/t-poly stage of Prover::prove (`prover.rs:458-513`,
+// `vector_poly.rs:79-97`): the O(n) vector-poly coefficient build and the
+// special inner product <l(x), r(x)> run in one native pass, replacing
+// ~100 ms of per-element Python Scalar objects at n = 2048.  Split in two
+// because the protocol draws challenge x only AFTER the T_i commitments:
+// pass T computes t1..t6 and stashes the per-element coefficients
+// (l1, r0, r1, r3) in a caller-owned scratch buffer; pass EVAL evaluates
+// l(x), r(x) from the scratch (plus l2 = a_O, l3 = s_L) straight into the
+// plain-limb buffers the native IPA loop consumes.
+// ---------------------------------------------------------------------------
+
+// scratch layout: n * 4 * Lr (per element: l1, r0, r1, r3) + Lr (y^n plain)
+// all vector args are n plain LE Lr-limb scalars; t_out = 6 * Lr (t1..t6)
+void bp_prove_polys_t(const u64* rparams, const u64* aL, const u64* aR,
+                      const u64* aO, const u64* sL, const u64* sR,
+                      const u64* wL, const u64* wR, const u64* wO,
+                      const u64* y, const u64* y_inv, u64 n,
+                      u64* t_out, u64* scratch) {
+    Field fr = load_rfield(rparams);
+    const int Lr = fr.L;
+    u64 y_m[MAXL], yinv_m[MAXL];
+    fr.abi_to_mont(y, y_m);
+    fr.abi_to_mont(y_inv, yinv_m);
+    u64 one_m[MAXL];
+    { u64 onep[MAXL] = {0}; onep[0] = 1; fr.abi_to_mont(onep, one_m); }
+    u64 yp_m[MAXL], yp_plain[MAXL] = {0}, yi_m[MAXL];
+    memcpy(yp_m, one_m, MAXL * sizeof(u64));      // y^i Montgomery
+    yp_plain[0] = 1;                              // y^i plain
+    memcpy(yi_m, one_m, MAXL * sizeof(u64));      // y^-i Montgomery
+    u64 t[6][MAXL];
+    memset(t, 0, sizeof(t));
+    u64 u[MAXL], p[MAXL], l1m[MAXL], l2m[MAXL], l3m[MAXL];
+    for (u64 i = 0; i < n; i++) {
+        u64* row = scratch + i * 4 * Lr;
+        u64 *l1 = row, *r0 = row + Lr, *r1 = row + 2 * Lr,
+            *r3 = row + 3 * Lr;
+        fr.mont_mul(yi_m, wR + i * Lr, u);        // y^-i * wR_i (plain)
+        fr.add(aL + i * Lr, u, l1);               // l1 = aL + y^-i wR
+        fr.sub(wO + i * Lr, yp_plain, r0);        // r0 = wO - y^i
+        fr.mont_mul(yp_m, aR + i * Lr, u);
+        fr.add(u, wL + i * Lr, r1);               // r1 = y^i aR + wL
+        fr.mont_mul(yp_m, sR + i * Lr, r3);       // r3 = y^i sR
+        // t-poly accumulation (l2 = aO_i, l3 = sL_i)
+        fr.abi_to_mont(l1, l1m);
+        fr.abi_to_mont(aO + i * Lr, l2m);
+        fr.abi_to_mont(sL + i * Lr, l3m);
+        fr.mont_mul(l1m, r0, p); fr.add(t[0], p, t[0]);   // t1 += l1*r0
+        fr.mont_mul(l1m, r1, p); fr.add(t[1], p, t[1]);   // t2 += l1*r1
+        fr.mont_mul(l2m, r0, p); fr.add(t[1], p, t[1]);   //    += l2*r0
+        fr.mont_mul(l2m, r1, p); fr.add(t[2], p, t[2]);   // t3 += l2*r1
+        fr.mont_mul(l3m, r0, p); fr.add(t[2], p, t[2]);   //    += l3*r0
+        fr.mont_mul(l1m, r3, p); fr.add(t[3], p, t[3]);   // t4 += l1*r3
+        fr.mont_mul(l3m, r1, p); fr.add(t[3], p, t[3]);   //    += l3*r1
+        fr.mont_mul(l2m, r3, p); fr.add(t[4], p, t[4]);   // t5 += l2*r3
+        fr.mont_mul(l3m, r3, p); fr.add(t[5], p, t[5]);   // t6 += l3*r3
+        // advance the y chains
+        fr.mont_mul(yp_m, y_m, yp_m);
+        fr.mont_mul(y_m, yp_plain, yp_plain);
+        fr.mont_mul(yi_m, yinv_m, yi_m);
+    }
+    memcpy(scratch + (u64)n * 4 * Lr, yp_plain, Lr * sizeof(u64));
+    for (int k = 0; k < 6; k++)
+        memcpy(t_out + (u64)k * Lr, t[k], Lr * sizeof(u64));
+}
+
+// l_out[i] = x*(l1 + x*(l2 + x*l3));  r_out[i] = r0 + x*r1 + x^3*r3;
+// padding rows i in [n, padded_n): l = 0, r = -y^i (prover.rs:530-535).
+// Outputs are plain-limb (padded_n * Lr) buffers — the a/b inputs of
+// bp_ipp_round_lr/_fold, no Python marshalling in between.
+void bp_prove_polys_eval(const u64* rparams, const u64* scratch,
+                         const u64* aO, const u64* sL, const u64* x,
+                         const u64* y, u64 n, u64 padded_n,
+                         u64* l_out, u64* r_out) {
+    Field fr = load_rfield(rparams);
+    const int Lr = fr.L;
+    u64 x_m[MAXL], x3_m[MAXL], y_m[MAXL];
+    fr.abi_to_mont(x, x_m);
+    fr.mont_mul(x_m, x_m, x3_m);                  // x^2 (Montgomery)
+    fr.mont_mul(x3_m, x_m, x3_m);                 // x^3 (Montgomery)
+    fr.abi_to_mont(y, y_m);
+    u64 e[MAXL], f[MAXL], f2[MAXL];
+    for (u64 i = 0; i < n; i++) {
+        const u64* row = scratch + i * 4 * Lr;
+        const u64 *l1 = row, *r0 = row + Lr, *r1 = row + 2 * Lr,
+                  *r3 = row + 3 * Lr;
+        fr.mont_mul(x_m, sL + i * Lr, e);         // x*l3 (plain)
+        fr.add(e, aO + i * Lr, e);                // + l2
+        fr.mont_mul(x_m, e, e);
+        fr.add(e, l1, e);                         // + l1
+        fr.mont_mul(x_m, e, l_out + i * Lr);      // * x
+        fr.mont_mul(x_m, r1, f);                  // x*r1
+        fr.mont_mul(x3_m, r3, f2);                // x^3*r3
+        fr.add(f, f2, f);
+        fr.add(f, r0, r_out + i * Lr);
+    }
+    u64 yp_plain[MAXL], zero[MAXL] = {0};
+    memcpy(yp_plain, scratch + (u64)n * 4 * Lr, Lr * sizeof(u64));
+    for (u64 i = n; i < padded_n; i++) {
+        memset(l_out + i * Lr, 0, Lr * sizeof(u64));
+        fr.sub(zero, yp_plain, r_out + i * Lr);   // -y^i
+        fr.mont_mul(y_m, yp_plain, yp_plain);
+    }
+}
+
 // 4-term fold: out[i] = s1[i]*P1[i] + ... + s4[i]*P4[i] (full-width
 // scalars; the paired-round IPA's combined base fold).
 void bp_fold4(const u64* params, const u64* P1, const u64* P2,

@@ -10,10 +10,13 @@ machine (no background pytest — single physical core, see CLAUDE.md).
 
 import cProfile
 import io
+import os
 import pstats
 import random
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
