@@ -121,6 +121,7 @@ class _CurveABI:
         rparams += _limbs64(cv.r, MAXL)
         rparams += _limbs64((rr * rr) % cv.r, MAXL)
         self.rparams = np.array(rparams, dtype=np.uint64)
+        self._pt_buf_cache = {}
         return self
 
     # ---- converters (int.to_bytes/from_bytes run at C speed) ----
@@ -213,6 +214,33 @@ class _CurveABI:
             i += nb
         return np.frombuffer(bytes(buf), dtype=np.uint64)
 
+    def points_to_buf_cached(self, points):
+        """points_to_buf with a PER-ELEMENT identity cache: the generator
+        vectors (same long-lived G1 objects every proof) dominate every
+        mega-MSM/commitment list, while the few proof-supplied points miss
+        and convert fresh.
+
+        SOUNDNESS: keys are element `id()`s and every entry pins a strong
+        reference to its G1 (so a dead id can never be reused while the
+        entry lives) — an id match implies the very same immutable object,
+        a property adversarial content cannot forge (unlike sampled
+        content keys, ADVICE r2)."""
+        cache = self._pt_buf_cache
+        if len(cache) > 1 << 16:
+            cache.clear()
+        nb = self.Lp * 8
+        get = cache.get
+        pieces = []
+        for pt in points:
+            hit = get(id(pt))
+            if hit is None or hit[0] is not pt:
+                piece = (pt.X.to_bytes(nb, "little")
+                         + pt.Y.to_bytes(nb, "little")
+                         + pt.Z.to_bytes(nb, "little"))
+                cache[id(pt)] = hit = (pt, piece)
+            pieces.append(hit[1])
+        return np.frombuffer(b"".join(pieces), dtype=np.uint64)
+
     def buf_to_ints(self, buf, n):
         raw = np.ascontiguousarray(buf).tobytes()
         nb = self.Lr * 8
@@ -286,8 +314,8 @@ def create_ipp_rounds(transcript, Q, G_factors, H_factors, G_vec, H_vec,
     r = cv.r
     Lr = abi.Lr
     Lp3 = 3 * abi.Lp
-    Gbuf = abi.points_to_buf(G_vec).copy()
-    Hbuf = abi.points_to_buf(H_vec).copy()
+    Gbuf = abi.points_to_buf_cached(G_vec).copy()
+    Hbuf = abi.points_to_buf_cached(H_vec).copy()
     abuf = abi.scalars_to_buf(a_vec).copy()
     bbuf = abi.scalars_to_buf(b_vec).copy()
     Qbuf = abi.points_to_buf([Q])
@@ -427,7 +455,7 @@ class CppBackend:
         lib = get_lib()
         out = np.zeros(3 * abi.Lp, dtype=np.uint64)
         lib.bp_msm2(_ptr(abi.params), _ptr(abi.glv_block()),
-                    _ptr(abi.points_to_buf(points)),
+                    _ptr(abi.points_to_buf_cached(points)),
                     _ptr(abi.scalars_to_buf(scalars)),
                     ctypes.c_uint64(len(points)), _ptr(out))
         return abi.buf_to_points(out, 1)[0]
@@ -448,7 +476,7 @@ class CppBackend:
             [abi.scalars_to_buf(s) for s in scalar_sets])
         out = np.zeros(k * 3 * abi.Lp, dtype=np.uint64)
         lib.bp_msm2_multi(_ptr(abi.params), _ptr(abi.glv_block()),
-                          _ptr(abi.points_to_buf(points)), _ptr(sbuf),
+                          _ptr(abi.points_to_buf_cached(points)), _ptr(sbuf),
                           ctypes.c_uint64(n), ctypes.c_uint64(k),
                           _ptr(out))
         return abi.buf_to_points(out, k)
