@@ -390,7 +390,10 @@ def create_ipp_rounds(transcript, Q, G_factors, H_factors, G_vec, H_vec,
                 # H'' mirrored with u <-> u_inv swapped.
                 def combos(p1, p2, p3, p4, fac):
                     if fac is None:
-                        return [abi.scalars_to_buf([p] * nQ)
+                        # constant per-element coefficient: convert once,
+                        # tile (scalars_to_buf of an nQ-long constant list
+                        # was ~25% of create_ipp_rounds' Python time)
+                        return [np.tile(abi.scalars_to_buf([p]), nQ)
                                 for p in (p1, p2, p3, p4)]
                     return [abi.scalars_to_buf(
                                 [p1 * f % r for f in fac[:nQ]]),
