@@ -169,7 +169,7 @@ def main():
         mark("config2 aggregated")
         # ---- BASELINE config #2: m=16 aggregated (n=2048) ----
         # Headline prove = the AUTO policy, which at this size is the
-        # IFMA/GLV native host path (round 3: ~0.98 s vs ~2.1 s on the
+        # IFMA/GLV native host path (round 3: ~0.64 s vs ~2.1 s on the
         # device — the ~30 ms/dispatch tunnel RTT x 22 IPA-round calls is a
         # floor the native path does not pay).  The device-prover number is
         # recorded separately so the crossover stays measured.

@@ -125,8 +125,13 @@ class Prover(ConstraintSystem):
         r = self.eval(right)
         o = l * r
         l_var, r_var, o_var = self._allocate_vars(l, r, o)
-        self.constrain(left - l_var)
-        self.constrain(right - r_var)
+        # terms match `left - l_var` / `right - r_var` exactly; built raw
+        # — multiply is the constraint-synthesis hot call (3 per s-box)
+        m1 = self.g.cv.r - 1
+        self.constraints.append(
+            LinearCombination._new(left.terms + [(l_var, m1)]))
+        self.constraints.append(
+            LinearCombination._new(right.terms + [(r_var, m1)]))
         return l_var, r_var, o_var
 
     def allocate(self, assignment=None):

@@ -49,8 +49,14 @@ class Verifier(ConstraintSystem):
         left = LinearCombination.coerce(left)
         right = LinearCombination.coerce(right)
         l_var, r_var, o_var = self._allocate_vars()
-        self.constrain(left - l_var)
-        self.constrain(right - r_var)
+        # raw-term construction of `left - l_var` / `right - r_var`
+        # (mirrors Prover.multiply — synthesis hot call)
+        from ..config import curve
+        m1 = curve().r - 1
+        self.constraints.append(
+            LinearCombination._new(left.terms + [(l_var, m1)]))
+        self.constraints.append(
+            LinearCombination._new(right.terms + [(r_var, m1)]))
         return l_var, r_var, o_var
 
     def allocate(self, assignment=None):

@@ -54,6 +54,23 @@ def test_glv_fold_matches_host(cname, rng):
             host.fold_points(PL, PR, u, ui)
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 7])
+def test_small_fold_pads_to_8_lanes(n, rng):
+    """fold_points pads 1..7-element batches to a full 8-lane IFMA group
+    with zero-scalar dup lanes (the Pedersen commit path, commit_many) —
+    results must match the host fold exactly, incl. zero scalars."""
+    cpp, host = CppBackend(), HostBackend()
+    with using_curve(CURVES["bls381"]):
+        PL = [bp.G1.from_msg_hash(b"sL%d" % i) for i in range(n)]
+        PR = [bp.G1.from_msg_hash(b"sR%d" % i) for i in range(n)]
+        s1 = [Scalar.random(rng) for _ in range(n)]
+        s2 = [Scalar.random(rng) for _ in range(n)]
+        if n > 1:
+            s1[1] = Scalar(0)
+        assert cpp.fold_points(PL, PR, s1, s2) == \
+            host.fold_points(PL, PR, s1, s2)
+
+
 def test_native_keccak_matches_python(rng):
     import bulletproofs_tpu.transcript.keccak as kk
     assert kk._get_native(), "native keccak should be available under tests"

@@ -31,8 +31,8 @@ def test_conv_cache_distinguishes_middle_points():
 
     ctx = ej.CurveCtx(pts_a[0].cv)
     cache = _ConvCache()
-    dev_a = cache.get(pts_a, ctx)
-    dev_b = cache.get(pts_b, ctx)
+    dev_a, _ = cache.get(pts_a, ctx)
+    dev_b, _ = cache.get(pts_b, ctx)
     back_a = ej.from_device_points(dev_a[:, :, 1:2], ctx)[0]
     back_b = ej.from_device_points(dev_b[:, :, 1:2], ctx)[0]
     assert back_a == pts_a[1]
