@@ -336,6 +336,52 @@ def main():
         except Exception as e:                       # pragma: no cover
             extras["poseidon_error"] = repr(e)[:200]
 
+        mark("smt4 gadget proof (host path)")
+        # ---- depth-12 SMT-4 leaf-inclusion proof (reference scale,
+        #      `sparse_merkle_tree_4_ary.rs:242-251`) — host/native path,
+        #      runs with or without the TPU ----
+        try:
+            from bulletproofs_tpu.models.helper_constraints.poseidon import (
+                PoseidonParams, SboxType)
+            from bulletproofs_tpu.models.helper_constraints.\
+                sparse_merkle_tree_4_ary import VanillaSparseMerkleTree_4
+            from bulletproofs_tpu.models.sparse_merkle_tree_4_ary import (
+                gen_proof_of_leaf_inclusion_4_ary_merkle_tree,
+                verify_proof_of_leaf_inclusion_4_ary_merkle_tree)
+            from bulletproofs_tpu.utils.hash_db import InMemoryHashDb
+            from bulletproofs_tpu.ops.field_host import Scalar
+            from bulletproofs_tpu.utils import get_generators
+            params5g = PoseidonParams(5, 4, 4, 56)
+            dbg = InMemoryHashDb()
+            tree12 = VanillaSparseMerkleTree_4(params5g, 12, dbg)
+            rngs = random.Random(21)
+            key = Scalar(1234567)
+            tree12.update(key, Scalar(999), dbg)
+            pn = []
+            leaf = tree12.get(key, pn, dbg)
+            G8 = get_generators("G", 8192)
+            H8 = get_generators("H", 8192)
+            g1s = G1.from_msg_hash(b"g")
+            h1s = G1.from_msg_hash(b"h")
+
+            def smt_once():
+                t0 = time.time()
+                pr, cm = gen_proof_of_leaf_inclusion_4_ary_merkle_tree(
+                    leaf, key, None, pn, tree12.root, tree12.depth, params5g,
+                    SboxType.Quint, rngs, b"smt", g1s, h1s, G8, H8)
+                tp = time.time() - t0
+                t0 = time.time()
+                verify_proof_of_leaf_inclusion_4_ary_merkle_tree(
+                    tree12.root, tree12.depth, params5g, SboxType.Quint,
+                    pr, cm, b"smt", g1s, h1s, G8, H8)
+                return tp, time.time() - t0
+            smt_once()                               # warmup
+            sm = sorted(smt_once() for _ in range(3))
+            extras["smt4_d12_prove_s_p50"] = round(sm[1][0], 3)
+            extras["smt4_d12_verify_s_p50"] = round(sm[1][1], 3)
+        except Exception as e:                       # pragma: no cover
+            extras["smt4_gadget_error"] = repr(e)[:200]
+
         mark("smt4 updates")
         # ---- SMT-4 bulk update throughput (batched device Poseidon) ----
         try:
