@@ -27,6 +27,6 @@ from .transcript import ProofTranscript, Transcript
 from .utils import get_generators
 from .ipp import InnerProductArgumentProof, create_ipp, verify_ipp
 from .r1cs import (Prover, Verifier, R1CSProof, Variable, LinearCombination,
-                   AllocatedQuantity, ConstraintSystem)
+                   AllocatedQuantity, ConstraintSystem, batch_verify)
 
 __version__ = "0.1.0"

@@ -38,6 +38,35 @@ class Verifier(ConstraintSystem):
         self.V.append(commitment)
         return Variable.committed(i)
 
+    def rebind(self, transcript, commitments):
+        """Clone this verifier's SYNTHESIZED circuit for another proof of
+        the same statement shape (beyond-reference convenience for
+        `batch_verify`): constraints depend only on circuit structure —
+        Variable indices, not commitment values — so same-shape proofs
+        can share one synthesis; only the V commitments are replayed into
+        the fresh transcript, in the same order `commit` appended them.
+        1-phase circuits only (2-phase deferred closures capture the
+        original verifier)."""
+        if self.deferred_constraints:
+            raise ValueError(
+                "rebind does not support circuits with deferred "
+                "(2-phase) constraints — build a fresh Verifier")
+        if len(commitments) != len(self.V):
+            raise ValueError("commitment count differs from the template")
+        v = object.__new__(Verifier)
+        transcript.r1cs_domain_sep()
+        v.transcript = transcript
+        v.rng = self.rng
+        v.constraints = self.constraints       # shared, read-only
+        v.num_vars = self.num_vars
+        v.V = []
+        v.deferred_constraints = []
+        v.pending_multiplier = None
+        for cm in commitments:
+            transcript.commit_point(b"V", cm)
+            v.V.append(cm)
+        return v
+
     # ---- constraint system (no assignments) ----
     def _allocate_vars(self):
         i = self.num_vars
@@ -145,6 +174,22 @@ class Verifier(ConstraintSystem):
             return self._verify(proof, g, h, G, H)
 
     def _verify(self, proof, g, h, G, H):
+        head_pts, head_scals, g_scalars, h_scalars, tail_pts, tail_scals, \
+            padded_n = self._assemble(proof, g, h, G, H)
+        points = head_pts + G[:padded_n] + H[:padded_n] + tail_pts
+        scalars = head_scals + g_scalars + h_scalars + tail_scals
+        res = get_backend(len(points)).msm(points, scalars)
+        if not res.is_identity():
+            raise VerificationError("R1CS proof verification failed")
+
+    def _assemble(self, proof, g, h, G, H):
+        """Transcript replay + the mega-MSM assembly of `verifier.rs:267-451`
+        WITHOUT executing the MSM: returns (head_points, head_scalars,
+        g_scalars, h_scalars, tail_points, tail_scalars, padded_n) where the
+        full single-proof check is [head | G[:padded_n] | H[:padded_n] |
+        tail] == identity.  Scalar entries are plain ints mod r (g/h/tail)
+        or Scalars (head); `batch_verify` folds many assemblies into one
+        MSM with random weights."""
         tr = self.transcript
         tr.append_u64(b"m", len(self.V))
 
@@ -244,31 +289,69 @@ class Verifier(ConstraintSystem):
         ux = u * x
         ux_sqr = u * x_sqr
         ux_cube = u * x_cube
-        scalars = [x, x_sqr, x_cube, ux, ux_sqr, ux_cube]
-        scalars += [wv * r_x_sqr for wv in wV]
-        scalars += T_scalars
+        head_scals = [x, x_sqr, x_cube, ux, ux_sqr, ux_cube]
+        head_scals += [wv * r_x_sqr for wv in wV]
+        head_scals += T_scalars
         w_comb = w * (proof.t_x - a * b) \
             + r_batch * (x_sqr * (wc + delta) - proof.t_x)
-        scalars.append(w_comb)
-        scalars.append(-(proof.e_blinding + r_batch * proof.t_x_blinding))
-        scalars += g_scalars
-        scalars += h_scalars
-        scalars += u_sq
-        scalars += u_inv_sq
+        head_scals.append(w_comb)
+        head_scals.append(-(proof.e_blinding + r_batch * proof.t_x_blinding))
 
-        points = [proof.A_I1, proof.A_O1, proof.S1,
-                  proof.A_I2, proof.A_O2, proof.S2]
-        points += self.V
-        points += T_points
-        points += [g, h]
-        points += G[:padded_n]
-        points += H[:padded_n]
-        points += proof.ipp_proof.L
-        points += proof.ipp_proof.R
+        head_pts = [proof.A_I1, proof.A_O1, proof.S1,
+                    proof.A_I2, proof.A_O2, proof.S2]
+        head_pts += self.V
+        head_pts += T_points
+        head_pts += [g, h]
 
-        res = get_backend(len(points)).msm(points, scalars)
-        if not res.is_identity():
-            raise VerificationError("R1CS proof verification failed")
+        tail_pts = list(proof.ipp_proof.L) + list(proof.ipp_proof.R)
+        tail_scals = [si.v for si in u_sq] + [si.v for si in u_inv_sq]
+        return (head_pts, head_scals, g_scalars, h_scalars, tail_pts,
+                tail_scals, padded_n)
+
+
+def batch_verify(verifiers_and_proofs, g, h, G, H, rng=None):
+    """Verify k R1CS proofs with ONE mega-MSM.
+
+    Beyond-reference capability (the reference verifies one proof per MSM,
+    `verifier.rs:431-456`; batching is standard bulletproofs practice):
+    each proof's verification equation MSM_i == identity is combined as
+    sum_i rho_i * MSM_i == identity with verifier-chosen random weights
+    rho_i, sharing one set of generator points — verifying k same-circuit
+    proofs costs ~one mega-MSM plus k cheap scalar assemblies instead of
+    k MSMs.  Soundness: a proof failing its own equation passes the batch
+    with probability <= 1/r over the rho draw.  On failure the batch does
+    NOT identify the offending proof — fall back to individual `verify`.
+
+    verifiers_and_proofs: [(verifier, proof)] — each verifier must have
+    its circuit committed exactly as for `verifier.verify(proof, ...)`.
+    """
+    from ..ops.field_host import Scalar
+    assert verifiers_and_proofs, "empty batch"
+    r = G[0].cv.r
+    asm = [v._assemble(p, g, h, G, H) for v, p in verifiers_and_proofs]
+    max_pad = max(a[6] for a in asm)
+    if len(G) < max_pad or len(H) < max_pad:
+        raise InvalidGeneratorsLength()
+
+    g_comb = [0] * max_pad
+    h_comb = [0] * max_pad
+    points, scalars = [], []
+    for i, (head_pts, head_scals, g_sc, h_sc, tail_pts, tail_sc,
+            _pad) in enumerate(asm):
+        rho = 1 if i == 0 else Scalar.random(rng).v
+        for j, sj in enumerate(g_sc):
+            g_comb[j] = (g_comb[j] + rho * sj) % r
+        for j, sj in enumerate(h_sc):
+            h_comb[j] = (h_comb[j] + rho * sj) % r
+        points += head_pts + tail_pts
+        scalars += [(rho * (s.v if isinstance(s, Scalar) else s)) % r
+                    for s in head_scals + tail_sc]
+
+    points += G[:max_pad] + H[:max_pad]
+    scalars += g_comb + h_comb
+    res = get_backend(len(points)).msm(points, scalars)
+    if not res.is_identity():
+        raise VerificationError("batch verification failed")
 
 
 class RandomizingVerifier(RandomizedConstraintSystem):

@@ -1,0 +1,115 @@
+"""Batch verification: k proofs in ONE mega-MSM via a random linear
+combination (`r1cs.verifier.batch_verify` — beyond-reference capability;
+the reference verifies one proof per MSM, `verifier.rs:431-456`)."""
+
+import random
+
+import pytest
+
+import bulletproofs_tpu as bp
+from bulletproofs_tpu import batch_verify
+from bulletproofs_tpu.models import bound_check
+from bulletproofs_tpu.transcript import ProofTranscript
+from bulletproofs_tpu.utils.errors import VerificationError
+
+
+BITS = 16
+
+
+def _make_proof(seed, g, h, G, H, m=2):
+    rng = random.Random(seed)
+    vals = [rng.randrange(1 << (BITS - 1)) for _ in range(m)]
+    tr = ProofTranscript(b"batch")
+    p = bp.Prover(g, h, tr, rng=rng)
+    comms = [bound_check.prove_bounded_num(
+        v, None, 0, (1 << BITS) - 1, BITS, rng, p) for v in vals]
+    return p.prove(G, H), comms
+
+
+def _verifier_for(comms, g, h):
+    tr = ProofTranscript(b"batch")
+    v = bp.Verifier(tr)
+    for cm in comms:
+        bound_check.verify_bounded_num(0, (1 << BITS) - 1, BITS, cm, v)
+    return v
+
+
+@pytest.fixture(scope="module")
+def setup():
+    G = bp.get_generators("G", 128)
+    H = bp.get_generators("H", 128)
+    g = bp.G1.from_msg_hash(b"g")
+    h = bp.G1.from_msg_hash(b"h")
+    proofs = [_make_proof(100 + i, g, h, G, H) for i in range(4)]
+    return g, h, G, H, proofs
+
+
+def test_batch_verify_accepts(setup):
+    g, h, G, H, proofs = setup
+    items = [(_verifier_for(comms, g, h), proof) for proof, comms in proofs]
+    batch_verify(items, g, h, G, H, rng=random.Random(7))
+
+
+def test_batch_matches_individual(setup):
+    """Every proof in the batch also verifies individually (same verifier
+    construction), i.e. batching changes no transcript semantics."""
+    g, h, G, H, proofs = setup
+    for proof, comms in proofs:
+        _verifier_for(comms, g, h).verify(proof, g, h, G, H)
+
+
+def test_batch_verify_rejects_one_bad(setup):
+    g, h, G, H, proofs = setup
+    bad = bp.R1CSProof.from_bytes(proofs[2][0].to_bytes())
+    bad.t_x = bad.t_x + bp.Scalar(1)
+    items = []
+    for i, (proof, comms) in enumerate(proofs):
+        items.append((_verifier_for(comms, g, h),
+                      bad if i == 2 else proof))
+    with pytest.raises(VerificationError):
+        batch_verify(items, g, h, G, H, rng=random.Random(7))
+
+
+def test_batch_verify_rejects_swapped_commitments(setup):
+    """A valid proof against the WRONG circuit commitments must fail."""
+    g, h, G, H, proofs = setup
+    items = [(_verifier_for(proofs[1][1], g, h), proofs[0][0]),
+             (_verifier_for(proofs[1][1], g, h), proofs[1][0])]
+    with pytest.raises(VerificationError):
+        batch_verify(items, g, h, G, H, rng=random.Random(7))
+
+
+def test_rebind_template_verifier(setup):
+    """rebind: one synthesized circuit reused across same-shape proofs —
+    accepts good proofs (individually and batched) and rejects bad."""
+    g, h, G, H, proofs = setup
+    template = _verifier_for(proofs[0][1], g, h)
+
+    def flat(comms):
+        # rebind takes the V commitments in commit order (3 per gadget)
+        return [c for grp in comms for c in grp]
+
+    items = []
+    for proof, comms in proofs:
+        v = template.rebind(ProofTranscript(b"batch"), flat(comms))
+        items.append((v, proof))
+    batch_verify(items, g, h, G, H, rng=random.Random(11))
+    # rebound verifier also works for individual verify
+    template.rebind(ProofTranscript(b"batch"), flat(proofs[1][1])).verify(
+        proofs[1][0], g, h, G, H)
+    bad = bp.R1CSProof.from_bytes(proofs[0][0].to_bytes())
+    bad.e_blinding = bad.e_blinding + bp.Scalar(1)
+    with pytest.raises(VerificationError):
+        template.rebind(
+            ProofTranscript(b"batch"), flat(proofs[0][1])).verify(
+            bad, g, h, G, H)
+
+
+def test_batch_mixed_circuit_sizes(setup):
+    """Proofs with different padded_n in one batch (generator spans are
+    shared up to the max)."""
+    g, h, G, H, proofs = setup
+    big_proof, big_comms = _make_proof(500, g, h, G, H, m=4)
+    items = [(_verifier_for(proofs[0][1], g, h), proofs[0][0]),
+             (_verifier_for(big_comms, g, h), big_proof)]
+    batch_verify(items, g, h, G, H, rng=random.Random(9))
