@@ -336,6 +336,51 @@ def main():
         except Exception as e:                       # pragma: no cover
             extras["poseidon_error"] = repr(e)[:200]
 
+        mark("batch verify (host path)")
+        # ---- batch verification: 8 aggregated m=16 proofs in ONE mega-MSM
+        #      (random linear combination + circuit template; beyond-
+        #      reference capability) ----
+        try:
+            from bulletproofs_tpu import batch_verify, Verifier
+            from bulletproofs_tpu.transcript import ProofTranscript
+            from bulletproofs_tpu.utils import get_generators
+            from bulletproofs_tpu import Prover
+            Gb = get_generators("G", 2048)
+            Hb = get_generators("H", 2048)
+            Kb, mb, bitsb = 8, 16, 64
+
+            def mk_proof(seed):
+                rngb = random.Random(seed)
+                vs = [rngb.randrange(1 << 63) for _ in range(mb)]
+                trb = ProofTranscript(b"AggRange")
+                pb = Prover(g1, h1, trb, rng=rngb)
+                cms = [bound_check.prove_bounded_num(
+                    v, None, 0, (1 << bitsb) - 1, bitsb, rngb, pb)
+                    for v in vs]
+                return pb.prove(Gb, Hb), [c for grp in cms for c in grp]
+
+            batch = [mk_proof(70 + i) for i in range(Kb)]
+            tmpl_tr = ProofTranscript(b"AggRange")
+            tmpl = Verifier(tmpl_tr)
+            fl = batch[0][1]
+            for j in range(0, len(fl), 3):
+                bound_check.verify_bounded_num(
+                    0, (1 << bitsb) - 1, bitsb, fl[j:j + 3], tmpl)
+
+            def batch_once():
+                t0 = time.time()
+                items = [(tmpl.rebind(ProofTranscript(b"AggRange"), flat),
+                          pr) for pr, flat in batch]
+                batch_verify(items, g1, h1, Gb, Hb,
+                             rng=random.Random(1))
+                return time.time() - t0
+            batch_once()                             # warmup
+            bt = sorted(batch_once() for _ in range(3))[1]
+            extras["batch8_m16_verify_s_p50"] = round(bt, 3)
+            extras["batch_verify_proofs_per_s"] = round(Kb / bt, 1)
+        except Exception as e:                       # pragma: no cover
+            extras["batch_verify_error"] = repr(e)[:200]
+
         mark("smt4 gadget proof (host path)")
         # ---- depth-12 SMT-4 leaf-inclusion proof (reference scale,
         #      `sparse_merkle_tree_4_ary.rs:242-251`) — host/native path,
