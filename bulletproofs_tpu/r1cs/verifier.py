@@ -347,10 +347,14 @@ def batch_verify(verifiers_and_proofs, g, h, G, H, rng=None):
         scalars += [(rho * (s.v if isinstance(s, Scalar) else s)) % r
                     for s in head_scals + tail_sc]
 
-    points += G[:max_pad] + H[:max_pad]
-    scalars += g_comb + h_comb
-    res = get_backend(len(points)).msm(points, scalars)
-    if not res.is_identity():
+    # split MSM: the generator spans are the SAME point list every batch
+    # (conversion-cacheable, device-friendly at scale) while the per-proof
+    # heads/tails are small and fresh — summing two MSMs keeps the big one
+    # cache-hot instead of reconverting the combined list per batch
+    gen_res = get_backend(2 * max_pad).msm(G[:max_pad] + H[:max_pad],
+                                           g_comb + h_comb)
+    head_res = get_backend(len(points)).msm(points, scalars)
+    if not (gen_res + head_res).is_identity():
         raise VerificationError("batch verification failed")
 
 
