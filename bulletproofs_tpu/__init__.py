@@ -25,7 +25,8 @@ from .ops.field_host import Scalar
 from .ops.ec_host import G1
 from .transcript import ProofTranscript, Transcript
 from .utils import get_generators
-from .ipp import InnerProductArgumentProof, create_ipp, verify_ipp
+from .ipp import (InnerProductArgumentProof, batch_verify_ipp, create_ipp,
+                  verify_ipp)
 from .r1cs import (Prover, Verifier, R1CSProof, Variable, LinearCombination,
                    AllocatedQuantity, ConstraintSystem, batch_verify)
 

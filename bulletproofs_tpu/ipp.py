@@ -155,6 +155,69 @@ def verification_scalars(L_vec, R_vec, n, transcript):
     return challenges_sq, challenges_inv_sq, s
 
 
+def batch_verify_ipp(n, G, H, items, rng=None):
+    """Batch-verify k standalone IPA proofs sharing generator vectors G, H
+    with ONE combined check (beyond-reference capability; `ipp.rs:204-260`
+    runs one 2n+2lg n+1 MSM per proof).
+
+    items: [(transcript, G_factors, H_factors, P, Q, a, b, L_vec, R_vec)]
+    — the `verify_ipp` argument tuple per proof.  Each equation
+    expected_P_i == P_i is folded as sum_i rho_i*(expected_P_i - P_i) == 0
+    with verifier-chosen random rho_i; the shared-generator MSM is issued
+    separately from the small fresh per-proof MSM so device/native
+    conversion caches stay hot.  A failing batch does not localize —
+    fall back to individual `verify_ipp`.
+    """
+    assert items, "empty batch"
+    cv = G[0].cv
+    r = cv.r
+    g_comb = [0] * n
+    h_comb = [0] * n
+    head_pts, head_scals = [], []
+    for i, (transcript, G_factors, H_factors, P, Q, a, b, L_vec,
+            R_vec) in enumerate(items):
+        u_sq, u_inv_sq, s = verification_scalars(L_vec, R_vec, n,
+                                                 transcript)
+        rho = 1 if i == 0 else Scalar.random(rng).v
+        rho_a = rho * a.v % r
+        rho_b = rho * b.v % r
+        s_int = [si.v for si in s]
+        gf_one = all((f.v if isinstance(f, Scalar) else int(f)) == 1
+                     for f in G_factors)
+        def _val(f):
+            return f.v if isinstance(f, Scalar) else int(f) % r
+
+        if gf_one:
+            for j in range(n):
+                g_comb[j] = (g_comb[j] + rho_a * s_int[j]) % r
+        else:
+            for j, f in enumerate(G_factors[:n]):
+                g_comb[j] = (g_comb[j]
+                             + rho_a * s_int[j] % r * _val(f)) % r
+        s_rev = s_int[::-1]
+        hf_one = all((f.v if isinstance(f, Scalar) else int(f)) == 1
+                     for f in H_factors)
+        if hf_one:
+            for j in range(n):
+                h_comb[j] = (h_comb[j] + rho_b * s_rev[j]) % r
+        else:
+            for j, f in enumerate(H_factors[:n]):
+                h_comb[j] = (h_comb[j]
+                             + rho_b * s_rev[j] % r * _val(f)) % r
+        head_pts.append(Q)
+        head_scals.append(rho * (a.v * b.v % r) % r)
+        head_pts += list(L_vec) + list(R_vec) + [P]
+        head_scals += [(-(rho * u.v)) % r for u in u_sq]
+        head_scals += [(-(rho * u.v)) % r for u in u_inv_sq]
+        head_scals.append((-rho) % r)
+
+    gen_res = get_backend(2 * n).msm(list(G[:n]) + list(H[:n]),
+                                     g_comb + h_comb)
+    head_res = get_backend(len(head_pts)).msm(head_pts, head_scals)
+    if not (gen_res + head_res).is_identity():
+        raise VerificationError("IPA batch verification failed")
+
+
 def verify_ipp(n, transcript, G_factors, H_factors, P, Q, G, H, a, b, L_vec,
                R_vec):
     """Verifier side: one mega-MSM of size 2n + 2 lg n + 1 checked against P

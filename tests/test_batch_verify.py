@@ -113,3 +113,45 @@ def test_batch_mixed_circuit_sizes(setup):
     items = [(_verifier_for(proofs[0][1], g, h), proofs[0][0]),
              (_verifier_for(big_comms, g, h), big_proof)]
     batch_verify(items, g, h, G, H, rng=random.Random(9))
+
+
+# ---- standalone IPA batch verification (ipp.batch_verify_ipp) ----
+
+def _make_ipa(seed, n, Q, G, H):
+    from bulletproofs_tpu import create_ipp
+    from bulletproofs_tpu.ops.field_host import Scalar, inner_product
+    from bulletproofs_tpu.ops.ec_host import msm_host
+    rng = random.Random(seed)
+    one = Scalar.one()
+    a = [Scalar.random(rng) for _ in range(n)]
+    b = [Scalar.random(rng) for _ in range(n)]
+    Gf = [one] * n
+    Hf = [one] * n
+    proof = create_ipp(ProofTranscript(b"bipa"), Q, Gf, Hf, G, H, a, b)
+    P = msm_host(list(G) + list(H) + [Q],
+                 a + b + [inner_product(a, b)])
+    return proof, P, Gf, Hf
+
+
+def test_batch_verify_ipp_accepts_and_rejects():
+    from bulletproofs_tpu import batch_verify_ipp, verify_ipp
+    n = 32
+    G = bp.get_generators("G", n)
+    H = bp.get_generators("H", n)
+    Q = bp.G1.from_msg_hash(b"Q")
+    made = [_make_ipa(600 + i, n, Q, G, H) for i in range(3)]
+
+    def items(tamper=None):
+        out = []
+        for i, (pr, P, Gf, Hf) in enumerate(made):
+            a = pr.a + bp.Scalar(1) if i == tamper else pr.a
+            out.append((ProofTranscript(b"bipa"), Gf, Hf, P, Q,
+                        a, pr.b, pr.L, pr.R))
+        return out
+
+    # individual verifies pass (sanity of the fixtures)
+    for tr, Gf, Hf, P, Qp, a, b_, L, R in items():
+        verify_ipp(n, tr, Gf, Hf, P, Qp, G, H, a, b_, L, R)
+    batch_verify_ipp(n, G, H, items(), rng=random.Random(5))
+    with pytest.raises(VerificationError):
+        batch_verify_ipp(n, G, H, items(tamper=1), rng=random.Random(5))

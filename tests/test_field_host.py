@@ -47,6 +47,23 @@ def test_bytes_roundtrip():
     assert len(Scalar(1).to_bytes()) == 48  # bls381 MODBYTES
 
 
+def test_from_bytes_wide_buffer_reduction():
+    """`FieldElement::from(&[u8; MODBYTES])` semantics (AUDIT.md #3,
+    `transcript.rs:55-60`): a buffer WIDER than the scalar (bls381
+    MODBYTES = 48 > 32 r-bytes) is interpreted big-endian and reduced
+    mod r — the transcript challenge-reduction corner VERDICT r2 flagged."""
+    from bulletproofs_tpu.config import BLS381, CURVES, using_curve
+    buf48 = bytes(range(208, 256))                 # 48 bytes, top bits set
+    v = int.from_bytes(buf48, "big")
+    assert v > BLS381.r                            # reduction must happen
+    assert Scalar.from_bytes(buf48).v == v % BLS381.r
+    with using_curve(CURVES["bn254"]):
+        buf32 = bytes(range(224, 256))             # bn254 MODBYTES = 32
+        v32 = int.from_bytes(buf32, "big")
+        assert Scalar.from_bytes(buf32).v == v32 % CURVES["bn254"].r
+        assert len(Scalar(1).to_bytes()) == 32
+
+
 def test_vandermonde_and_inner_product():
     x = Scalar(7)
     v = vandermonde_vector(x, 5)
