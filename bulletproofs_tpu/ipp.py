@@ -171,39 +171,63 @@ def batch_verify_ipp(n, G, H, items, rng=None):
     assert items, "empty batch"
     cv = G[0].cv
     r = cv.r
-    g_comb = [0] * n
-    h_comb = [0] * n
+
+    def _ones(fs):
+        return all((f.v if isinstance(f, Scalar) else int(f)) == 1
+                   for f in fs)
+
+    # native fast path for the O(k*n) scalar combination (bp_ipa_svector +
+    # bp_axpy_mod_r): at n = 2^16 the Python modmul loops cost ~0.2 s per
+    # proof, which would eat the batching win
+    native = None
+    if all(_ones(it[1]) and _ones(it[2]) for it in items):
+        try:
+            from .ops.cpp_backend import _CurveABI, get_lib, _ptr
+            import ctypes
+            import numpy as np
+            native = (_CurveABI(cv), get_lib(), _ptr, ctypes, np)
+        except Exception:
+            native = None
+
+    if native:
+        abi, lib, _p, ctypes, np = native
+        Lr = abi.Lr
+        g_buf = np.zeros(n * Lr, dtype=np.uint64)
+        h_buf = np.zeros(n * Lr, dtype=np.uint64)
+    else:
+        g_comb = [0] * n
+        h_comb = [0] * n
+
     head_pts, head_scals = [], []
     for i, (transcript, G_factors, H_factors, P, Q, a, b, L_vec,
             R_vec) in enumerate(items):
-        u_sq, u_inv_sq, s = verification_scalars(L_vec, R_vec, n,
-                                                 transcript)
+        u_sq, u_inv_sq, s_or_none = _verification_scalars_lazy(
+            L_vec, R_vec, n, transcript, skip_s=bool(native))
         rho = 1 if i == 0 else Scalar.random(rng).v
         rho_a = rho * a.v % r
         rho_b = rho * b.v % r
-        s_int = [si.v for si in s]
-        gf_one = all((f.v if isinstance(f, Scalar) else int(f)) == 1
-                     for f in G_factors)
-        def _val(f):
-            return f.v if isinstance(f, Scalar) else int(f) % r
-
-        if gf_one:
+        if native:
+            lg_n = len(L_vec)
+            u_sq_buf = abi.scalars_to_buf(u_sq)
+            prod_inv = s_or_none          # prod(u^-1) from the lazy helper
+            s_buf = np.zeros(n * Lr, dtype=np.uint64)
+            lib.bp_ipa_svector(_p(abi.rparams), _p(u_sq_buf),
+                               _p(abi.scalars_to_buf([prod_inv])),
+                               ctypes.c_uint64(lg_n), ctypes.c_uint64(n),
+                               _p(s_buf))
+            lib.bp_axpy_mod_r(_p(abi.rparams), _p(g_buf),
+                              _p(abi.scalars_to_buf([rho_a])), _p(s_buf),
+                              ctypes.c_uint64(n), ctypes.c_uint64(0))
+            lib.bp_axpy_mod_r(_p(abi.rparams), _p(h_buf),
+                              _p(abi.scalars_to_buf([rho_b])), _p(s_buf),
+                              ctypes.c_uint64(n), ctypes.c_uint64(1))
+        else:
+            s_int = [si.v for si in s_or_none]
             for j in range(n):
                 g_comb[j] = (g_comb[j] + rho_a * s_int[j]) % r
-        else:
-            for j, f in enumerate(G_factors[:n]):
-                g_comb[j] = (g_comb[j]
-                             + rho_a * s_int[j] % r * _val(f)) % r
-        s_rev = s_int[::-1]
-        hf_one = all((f.v if isinstance(f, Scalar) else int(f)) == 1
-                     for f in H_factors)
-        if hf_one:
+            s_rev = s_int[::-1]
             for j in range(n):
                 h_comb[j] = (h_comb[j] + rho_b * s_rev[j]) % r
-        else:
-            for j, f in enumerate(H_factors[:n]):
-                h_comb[j] = (h_comb[j]
-                             + rho_b * s_rev[j] % r * _val(f)) % r
         head_pts.append(Q)
         head_scals.append(rho * (a.v * b.v % r) % r)
         head_pts += list(L_vec) + list(R_vec) + [P]
@@ -211,11 +235,35 @@ def batch_verify_ipp(n, G, H, items, rng=None):
         head_scals += [(-(rho * u.v)) % r for u in u_inv_sq]
         head_scals.append((-rho) % r)
 
+    if native:
+        g_comb = abi.buf_to_ints(g_buf, n)
+        h_comb = abi.buf_to_ints(h_buf, n)
     gen_res = get_backend(2 * n).msm(list(G[:n]) + list(H[:n]),
                                      g_comb + h_comb)
     head_res = get_backend(len(head_pts)).msm(head_pts, head_scals)
     if not (gen_res + head_res).is_identity():
         raise VerificationError("IPA batch verification failed")
+
+
+def _verification_scalars_lazy(L_vec, R_vec, n, transcript, skip_s=False):
+    """verification_scalars, optionally WITHOUT the O(n) s-vector build:
+    with skip_s the third return is prod(u^-1) (a Scalar) for the native
+    s-vector kernel (bp_ipa_svector) instead of the s list."""
+    if not skip_s:
+        return verification_scalars(L_vec, R_vec, n, transcript)
+    lg_n = len(L_vec)
+    if lg_n >= 32 or n != (1 << lg_n):
+        raise VerificationError("inconsistent IPA proof size")
+    transcript.innerproduct_domain_sep(n)
+    challenges = []
+    for L, R in zip(L_vec, R_vec):
+        transcript.commit_point(b"L", L)
+        transcript.commit_point(b"R", R)
+        challenges.append(transcript.challenge_scalar(b"u"))
+    challenges_inv, product_chal_inv = batch_invert(challenges)
+    u_sq = [c.square() for c in challenges]
+    u_inv_sq = [c.square() for c in challenges_inv]
+    return u_sq, u_inv_sq, product_chal_inv
 
 
 def verify_ipp(n, transcript, G_factors, H_factors, P, Q, G, H, a, b, L_vec,

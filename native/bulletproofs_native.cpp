@@ -2675,6 +2675,47 @@ void bp_prove_polys_eval(const u64* rparams, const u64* scratch,
     }
 }
 
+// IPA verification s-vector (`ipp.rs:262-315`): s[0] = prod_inv,
+// s[i] = s[i - 2^floor(lg i)] * u_sq[lg_n - 1 - floor(lg i)].
+// u_sq: lg_n plain scalars; prod_inv: plain; s_out: n plain scalars.
+void bp_ipa_svector(const u64* rparams, const u64* u_sq,
+                    const u64* prod_inv, u64 lg_n, u64 n, u64* s_out) {
+    Field fr = load_rfield(rparams);
+    const int Lr = fr.L;
+    // keep the recurrence in Montgomery form; one exit conversion per s
+    std::vector<u64> sm((n ? n : 1) * Lr);
+    std::vector<u64> um(lg_n * Lr);
+    for (u64 k = 0; k < lg_n; k++)
+        fr.abi_to_mont(u_sq + k * Lr, um.data() + k * Lr);
+    fr.abi_to_mont(prod_inv, sm.data());
+    fr.mont_to_abi(sm.data(), s_out);
+    int lg_i = 0;
+    for (u64 i = 1; i < n; i++) {
+        while ((u64)1 << (lg_i + 1) <= i) lg_i++;
+        const u64 prev = i - ((u64)1 << lg_i);
+        fr.mont_mul(sm.data() + prev * Lr,
+                    um.data() + ((lg_n - 1) - (u64)lg_i) * Lr,
+                    sm.data() + i * Lr);
+        fr.mont_to_abi(sm.data() + i * Lr, s_out + i * Lr);
+    }
+}
+
+// acc[j] += x * vec[j] mod r over plain-limb vectors (reverse indexes vec
+// back-to-front — the IPA h-side consumes s reversed).  The batch-verify
+// scalar-combination loops (k proofs x 2n terms) were Python modmuls.
+void bp_axpy_mod_r(const u64* rparams, u64* acc, const u64* x,
+                   const u64* vec, u64 n, u64 reverse) {
+    Field fr = load_rfield(rparams);
+    const int Lr = fr.L;
+    u64 x_m[MAXL], p[MAXL];
+    fr.abi_to_mont(x, x_m);
+    for (u64 j = 0; j < n; j++) {
+        const u64* v = vec + (reverse ? (n - 1 - j) : j) * Lr;
+        fr.mont_mul(x_m, v, p);                     // x*vec[j] (plain)
+        fr.add(acc + j * Lr, p, acc + j * Lr);
+    }
+}
+
 // 4-term fold: out[i] = s1[i]*P1[i] + ... + s4[i]*P4[i] (full-width
 // scalars; the paired-round IPA's combined base fold).
 void bp_fold4(const u64* params, const u64* P1, const u64* P2,

@@ -155,3 +155,26 @@ def test_batch_verify_ipp_accepts_and_rejects():
     batch_verify_ipp(n, G, H, items(), rng=random.Random(5))
     with pytest.raises(VerificationError):
         batch_verify_ipp(n, G, H, items(tamper=1), rng=random.Random(5))
+
+
+def test_batch_verify_ipp_python_fallback(monkeypatch):
+    """The pure-Python combination path (no native lib) must agree with
+    the native bp_ipa_svector/bp_axpy path."""
+    import bulletproofs_tpu.ipp as ipp_mod
+    from bulletproofs_tpu.ops import cpp_backend
+
+    n = 128                                # deeper s-vector recurrence
+    G = bp.get_generators("G", n)
+    H = bp.get_generators("H", n)
+    Q = bp.G1.from_msg_hash(b"Q")
+    made = [_make_ipa(700 + i, n, Q, G, H) for i in range(2)]
+    items = [(ProofTranscript(b"bipa"), Gf, Hf, P, Q, pr.a, pr.b,
+              pr.L, pr.R) for pr, P, Gf, Hf in made]
+    ipp_mod.batch_verify_ipp(n, G, H, items, rng=random.Random(5))
+
+    def boom():
+        raise RuntimeError("native disabled for test")
+    monkeypatch.setattr(cpp_backend, "get_lib", boom)
+    items = [(ProofTranscript(b"bipa"), Gf, Hf, P, Q, pr.a, pr.b,
+              pr.L, pr.R) for pr, P, Gf, Hf in made]
+    ipp_mod.batch_verify_ipp(n, G, H, items, rng=random.Random(5))
