@@ -279,6 +279,13 @@ def _round_kernel(ctx, L):
 
 
 def _pick_tile(S):
+    """Lane tile for the bucket kernels; BP_PALLAS_TILE overrides for
+    hardware sweeps (must divide the slot count)."""
+    import os
+    env = os.environ.get("BP_PALLAS_TILE")
+    if env:
+        t = int(env)
+        return t if S % t == 0 else None
     for t in (512, 256, 128):
         if S % t == 0:
             return t
