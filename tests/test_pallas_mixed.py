@@ -111,6 +111,27 @@ def test_mixed_msm_end_to_end_matches_host(ctx, monkeypatch):
     assert got == expected
 
 
+def test_mixed_msm_hybrid_totals_path(ctx, monkeypatch):
+    """Production prover route: msm_hybrid (device totals + native Horner
+    combine) with the mixed chunked kernel, vs the host backend.  c=4
+    keeps the slot count divisible by the smallest pallas tile."""
+    monkeypatch.setenv("BP_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("BP_EC_KERNEL", "pallas")
+    from bulletproofs_tpu.ops import msm as msm_mod
+
+    rng = random.Random(77)
+    n = 48
+    with using_curve(BLS381):
+        pts = [G1.from_msg_hash(b"t%d" % i) for i in range(n)]
+        scs = [Scalar.random(rng) for _ in range(n)]
+        expected = msm_host(pts, scs)
+        P, affine = ej.to_device_points_affine(pts, ctx)
+        assert affine
+        s = ej.to_device_scalars(scs, ctx)
+        (got,) = msm_mod.msm_hybrid(P, s[None], ctx, c=4, affine=True)
+    assert got == expected
+
+
 def test_to_device_points_affine_normalizes(ctx):
     """Projective host points are normalized to Z == 1; identity points
     disqualify the table (affine == False, plain conversion)."""
