@@ -44,7 +44,7 @@ from .sharded_msm import AXIS, _allreduce_buckets, make_mesh
 # ---------------------------------------------------------------------------
 
 def _msm_multi_body(points, scalars, ctx, c, n_rounds, wins_per_set, axis,
-                    pre_reduce=0):
+                    pre_reduce=0, affine=False):
     """shard_map body: local shards -> replicated (3, L, S) totals + the
     global max occupancy (for the guess-verify contract)."""
     S = scalars.shape[0]
@@ -52,7 +52,8 @@ def _msm_multi_body(points, scalars, ctx, c, n_rounds, wins_per_set, axis,
     plan = msm_mod.window_plan(ctx, c, n_sets=S)
     buckets, occ = msm_mod.bucket_accumulate(points, digits, ctx, c,
                                              n_rounds, plan=plan,
-                                             pre_reduce=pre_reduce)
+                                             pre_reduce=pre_reduce,
+                                             affine=affine)
     buckets = _allreduce_buckets(buckets, ctx, axis)
     occ = jax.lax.pmax(occ, axis)
     rowsum, colsum = msm_mod.bucket_rowcol(buckets, ctx, c)
@@ -61,12 +62,13 @@ def _msm_multi_body(points, scalars, ctx, c, n_rounds, wins_per_set, axis,
     return out, occ
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _msm_multi_sharded_jit(points, scalars, ctx, c, mesh, n_rounds,
-                           pre_reduce=0):
+                           pre_reduce=0, affine=False):
     W = -(-ctx.cv.fr.n_bits // c)
     body = partial(_msm_multi_body, ctx=ctx, c=c, n_rounds=n_rounds,
-                   wins_per_set=W, axis=AXIS, pre_reduce=pre_reduce)
+                   wins_per_set=W, axis=AXIS, pre_reduce=pre_reduce,
+                   affine=affine)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, None, AXIS), P(None, None, AXIS)),
@@ -75,7 +77,7 @@ def _msm_multi_sharded_jit(points, scalars, ctx, c, mesh, n_rounds,
     )(points, scalars)
 
 
-def msm_multi_sharded(points, scalars, ctx, c, mesh):
+def msm_multi_sharded(points, scalars, ctx, c, mesh, affine=False):
     """points (3, L, n), scalars (S, Lr, n) global (sharded or shardable)
     -> list of S host G1.  Guess-verify static round count per shard, with
     the same pre-reduction escalation as the single-chip driver (witness
@@ -86,7 +88,7 @@ def msm_multi_sharded(points, scalars, ctx, c, mesh):
     pre = 0
     while True:
         out, occ = _msm_multi_sharded_jit(points, scalars, ctx, c, mesh,
-                                          rounds, pre)
+                                          rounds, pre, affine)
         occ = int(occ)
         if occ <= rounds:
             break
@@ -275,8 +277,9 @@ def create_ipp_sharded(transcript, Q, G_factors, H_factors, G_vec, H_vec,
     # global table in PER-SHARD block order [G_0|H_0|G_1|H_1|...]: shard s
     # then holds exactly [G_s | H_s], matching the [sG | sH] concat order
     # the round kernel emits for its local scalar slices
-    Gd = ej.to_device_points(list(G_vec), ctx)
-    Hd = ej.to_device_points(list(H_vec), ctx)
+    Gd, affG = ej.to_device_points_affine(list(G_vec), ctx)
+    Hd, affH = ej.to_device_points_affine(list(H_vec), ctx)
+    affine = affG and affH
     L_fp = ctx.fp.L
     ns = n // d
     blocks = jnp.stack([Gd.reshape(3, L_fp, d, ns),
@@ -304,7 +307,8 @@ def create_ipp_sharded(transcript, Q, G_factors, H_factors, G_vec, H_vec,
             if tiles > 1 else fr.fp.mont_r % cv.r
         scal2, cL_p, cR_p = _round_a_jit(A, B, rG, rH, ctx, n_j, mesh,
                                          inv_tiles)
-        Lr_pts = msm_multi_sharded(pts, scal2, ctx, c, mesh)
+        Lr_pts = msm_multi_sharded(pts, scal2, ctx, c, mesh,
+                                   affine=affine)
         cL = Scalar(fj.limbs_to_ints(np.asarray(cL_p))[0])
         cR = Scalar(fj.limbs_to_ints(np.asarray(cR_p))[0])
         L = Lr_pts[0] + Q * cL
@@ -377,14 +381,16 @@ def prove_sharded(prover, G, H, mesh=None):
     def plain(vals):
         return jnp.asarray(fj.ints_to_limbs([v.v for v in vals], fr.L))
 
-    pts1 = jnp.concatenate([ej.to_device_points(G[:n1], ctx),
-                            ej.to_device_points(H[:n1], ctx)], axis=2)
+    Gd1, affG1 = ej.to_device_points_affine(G[:n1], ctx)
+    Hd1, affH1 = ej.to_device_points_affine(H[:n1], ctx)
+    pts1 = jnp.concatenate([Gd1, Hd1], axis=2)
     zero_n1 = [Scalar.zero()] * n1
     sets1 = jnp.stack([plain(prover.a_L + prover.a_R),
                        plain(prover.a_O + zero_n1),
                        plain(s_L1 + s_R1)], axis=0)
     c = msm_mod.pick_window(max(2 * n1 // d, 16))
-    base1 = msm_multi_sharded(pts1, sets1, ctx, c, mesh)
+    base1 = msm_multi_sharded(pts1, sets1, ctx, c, mesh,
+                              affine=affG1 and affH1)
     h_ = prover.h
     A_I1 = base1[0] + h_ * i_blinding1
     A_O1 = base1[1] + h_ * o_blinding1
