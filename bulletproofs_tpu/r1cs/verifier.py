@@ -9,6 +9,7 @@ accelerates.
 
 from .. import ipp as ipp_mod
 from ..backend import get_backend
+from ..config import curve
 from ..ops.field_host import Scalar
 from ..utils.errors import (InvalidGeneratorsLength, VerificationError)
 from .constraint_system import ConstraintSystem, RandomizedConstraintSystem
@@ -80,7 +81,6 @@ class Verifier(ConstraintSystem):
         l_var, r_var, o_var = self._allocate_vars()
         # raw-term construction of `left - l_var` / `right - r_var`
         # (mirrors Prover.multiply — synthesis hot call)
-        from ..config import curve
         m1 = curve().r - 1
         self.constraints.append(
             LinearCombination._new(left.terms + [(l_var, m1)]))
@@ -148,7 +148,6 @@ class Verifier(ConstraintSystem):
                 [Scalar(v) for v in wO], [Scalar(v) for v in wV], Scalar(wc))
 
     def transcript_curve_r(self):
-        from ..config import curve
         return curve().r
 
     def _create_randomized_constraints(self):
