@@ -26,6 +26,7 @@ branch-free formulation (SURVEY.md section 2.3):
 Layouts keep the wide axis last (TPU lanes): buckets are (3, L, W, B).
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -393,7 +394,10 @@ def bucket_accumulate(points, digits, ctx: CurveCtx, c: int, n_rounds=None,
         # projective points, so they disqualify) carry only (X, Y) — 2L
         # columns instead of 3L — and the kernel runs the 11-mul complete
         # mixed add (RCB16 alg 8) with empty-slot post-select.
-        mixed = affine and pre_reduce == 0
+        # BP_MSM_MIXED=0 is the hardware kill-switch (falls back to the
+        # proven general chunked kernel).
+        mixed = (affine and pre_reduce == 0
+                 and os.environ.get("BP_MSM_MIXED", "1") != "0")
         if mixed:
             points_rows = jnp.transpose(
                 points[:2], (2, 0, 1)).reshape(n, 2 * L)
