@@ -72,9 +72,57 @@ def get_backend(size_hint: int = 1 << 30):
     return _lazy_cpp() or _backends["host"]
 
 
+def _axon_alive():
+    """Probe a REMOTE jax platform (the axon TPU tunnel) in a subprocess
+    before the first device dispatch: a downed tunnel hangs jax backend
+    init forever with no timeout, which would hang any auto-policy op at
+    n >= DEVICE_THRESHOLD.  Local platforms (cpu under tests, tpu
+    directly attached) skip the probe.  The verdict is cached in a file
+    with a 10-minute TTL so one probe (~8 s of jax import in the child)
+    serves every process on the machine."""
+    import subprocess
+    import sys
+    import time
+
+    try:
+        import jax
+        plat = str(getattr(jax.config, "jax_platforms", None)
+                   or os.environ.get("JAX_PLATFORMS", ""))
+    except Exception:
+        return False
+    if "axon" not in plat:
+        return True
+    cache = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                         "bp_axon_probe")
+    try:
+        st = os.stat(cache)
+        if time.time() - st.st_mtime < 600:
+            with open(cache) as f:
+                return f.read().strip() == "up"
+    except OSError:
+        pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d[0].platform != 'cpu'"],
+            capture_output=True, timeout=120)   # live-tunnel init ~20-40 s
+        ok = r.returncode == 0
+    except Exception:
+        ok = False
+    try:
+        with open(cache, "w") as f:
+            f.write("up" if ok else "down")
+    except OSError:
+        pass
+    return ok
+
+
 def _lazy_jax():
     if "jax" not in _backends:
         try:
+            if not _axon_alive():
+                raise RuntimeError("axon tunnel down (probe)")
             from .ops.jax_backend import JaxBackend
             _backends["jax"] = JaxBackend()
         except Exception:
