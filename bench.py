@@ -42,9 +42,20 @@ def _tpu_available(timeout_s=240):
              "import jax; d = jax.devices(); "
              "assert d[0].platform != 'cpu', d; print(d[0])"],
             capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
+        ok = r.returncode == 0
     except Exception:
-        return False
+        ok = False
+    # share the verdict with the backend's bounded-probe fallback
+    # (bulletproofs_tpu.backend._axon_alive) so an explicit jax-mode
+    # section never falls back on a stale cached "down"
+    try:
+        import os
+        with open(os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                               "bp_axon_probe"), "w") as f:
+            f.write("up" if ok else "down")
+    except OSError:
+        pass
+    return ok
 
 
 def main():
