@@ -370,7 +370,10 @@ def bucket_rounds_chunk_pallas(buckets, rows, found, ctx):
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((tile, 3 * L), lambda i, r: (r * n_tiles + i, 0),
                          memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, tile), lambda i, r: (r, i),
+    # found rides as (1, R_c*S) round-major: a (1, tile) block over a
+    # 1-row array satisfies Mosaic's sublane rule (block dim == array dim);
+    # the natural (R_c, S) layout with 1-row blocks does not.
+    fspec = pl.BlockSpec((1, tile), lambda i, r: (0, r * n_tiles + i),
                          memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((L, 1), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -385,7 +388,7 @@ def bucket_rounds_chunk_pallas(buckets, rows, found, ctx):
         out_specs=(cspec, cspec, cspec),
         interpret=_interpret(),
     )(buckets[0], buckets[1], buckets[2], rows,
-      found.astype(jnp.int32), mod, one_m)
+      found.astype(jnp.int32).reshape(1, R_c * S), mod, one_m)
     return jnp.stack([X3, Y3, Z3], axis=0)
 
 
@@ -437,7 +440,8 @@ def bucket_rounds_chunk_pallas_mixed(buckets, rows, found, ctx):
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((tile, 2 * L), lambda i, r: (r * n_tiles + i, 0),
                          memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, tile), lambda i, r: (r, i),
+    # (1, R_c*S) round-major occupancy — see bucket_rounds_chunk_pallas.
+    fspec = pl.BlockSpec((1, tile), lambda i, r: (0, r * n_tiles + i),
                          memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((L, 1), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -451,7 +455,7 @@ def bucket_rounds_chunk_pallas_mixed(buckets, rows, found, ctx):
         out_specs=(cspec, cspec, cspec),
         interpret=_interpret(),
     )(buckets[0], buckets[1], buckets[2], rows,
-      found.astype(jnp.int32), mod)
+      found.astype(jnp.int32).reshape(1, R_c * S), mod)
     return jnp.stack([X3, Y3, Z3], axis=0)
 
 
