@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("BP_UNROLL", "64")
 os.environ.setdefault("BP_CIOS_UNROLL", "8")
 
+# Pin the kernel-routing env so the legs provably exercise the kernels
+# they are labeled with: BP_EC_KERNEL=xla or BP_MSM_MIXED=0 inherited from
+# the shell would silently route BOTH legs elsewhere and report BIT-EXACT
+# for kernels that never ran (ADVICE r3).
+os.environ["BP_EC_KERNEL"] = "pallas"
+os.environ["BP_MSM_MIXED"] = "1"
+
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -35,6 +42,9 @@ from bulletproofs_tpu.ops.ec_host import G1
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    if n < 8:
+        sys.exit("usage: tpu_bitexact_check.py [n >= 8] [c] — the "
+                 "adversarial scalar set needs at least 8 slots")
     rnd = random.Random(0xB17E)
     with using_curve(BLS381):
         ctx = ej.CurveCtx(BLS381)
