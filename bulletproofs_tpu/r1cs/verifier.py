@@ -308,7 +308,7 @@ class Verifier(ConstraintSystem):
                 tail_scals, padded_n)
 
 
-def batch_verify(verifiers_and_proofs, g, h, G, H, rng=None):
+def batch_verify(verifiers_and_proofs, g, h, G, H, rng=None, localize=True):
     """Verify k R1CS proofs with ONE mega-MSM.
 
     Beyond-reference capability (the reference verifies one proof per MSM,
@@ -318,13 +318,20 @@ def batch_verify(verifiers_and_proofs, g, h, G, H, rng=None):
     rho_i, sharing one set of generator points — verifying k same-circuit
     proofs costs ~one mega-MSM plus k cheap scalar assemblies instead of
     k MSMs.  Soundness: a proof failing its own equation passes the batch
-    with probability <= 1/r over the rho draw.  On failure the batch does
-    NOT identify the offending proof — fall back to individual `verify`.
+    with probability <= 1/r over the rho draw.
+
+    On failure, with localize=True (default) the offending proofs are
+    located by bisection over the retained per-proof contributions
+    (O(b log2 k) extra MSM checks; linearity of the combined equation) and
+    a `BatchVerificationError` naming their indices is raised; with
+    localize=False a plain `VerificationError` is raised after the single
+    combined check (VERDICT r3 task 7).
 
     verifiers_and_proofs: [(verifier, proof)] — each verifier must have
     its circuit committed exactly as for `verifier.verify(proof, ...)`.
     """
     from ..ops.field_host import Scalar
+    from ..utils.errors import BatchVerificationError, bisect_batch_failures
     assert verifiers_and_proofs, "empty batch"
     r = G[0].cv.r
     asm = [v._assemble(p, g, h, G, H) for v, p in verifiers_and_proofs]
@@ -332,29 +339,45 @@ def batch_verify(verifiers_and_proofs, g, h, G, H, rng=None):
     if len(G) < max_pad or len(H) < max_pad:
         raise InvalidGeneratorsLength()
 
-    g_comb = [0] * max_pad
-    h_comb = [0] * max_pad
-    points, scalars = [], []
+    # per-proof contributions (rho fixed per proof so subset checks reuse
+    # the same linear terms during bisection)
+    per = []
     for i, (head_pts, head_scals, g_sc, h_sc, tail_pts, tail_sc,
             _pad) in enumerate(asm):
         rho = 1 if i == 0 else Scalar.random(rng).v
-        for j, sj in enumerate(g_sc):
-            g_comb[j] = (g_comb[j] + rho * sj) % r
-        for j, sj in enumerate(h_sc):
-            h_comb[j] = (h_comb[j] + rho * sj) % r
-        points += head_pts + tail_pts
-        scalars += [(rho * (s.v if isinstance(s, Scalar) else s)) % r
-                    for s in head_scals + tail_sc]
+        pts = head_pts + tail_pts
+        scl = [(rho * (s.v if isinstance(s, Scalar) else s)) % r
+               for s in head_scals + tail_sc]
+        per.append((rho, g_sc, h_sc, pts, scl))
 
-    # split MSM: the generator spans are the SAME point list every batch
-    # (conversion-cacheable, device-friendly at scale) while the per-proof
-    # heads/tails are small and fresh — summing two MSMs keeps the big one
-    # cache-hot instead of reconverting the combined list per batch
-    gen_res = get_backend(2 * max_pad).msm(G[:max_pad] + H[:max_pad],
-                                           g_comb + h_comb)
-    head_res = get_backend(len(points)).msm(points, scalars)
-    if not (gen_res + head_res).is_identity():
+    def check(idxs):
+        g_comb = [0] * max_pad
+        h_comb = [0] * max_pad
+        points, scalars = [], []
+        for i in idxs:
+            rho, g_sc, h_sc, pts, scl = per[i]
+            for j, sj in enumerate(g_sc):
+                g_comb[j] = (g_comb[j] + rho * sj) % r
+            for j, sj in enumerate(h_sc):
+                h_comb[j] = (h_comb[j] + rho * sj) % r
+            points += pts
+            scalars += scl
+        # split MSM: the generator spans are the SAME point list every
+        # batch (conversion-cacheable, device-friendly at scale) while the
+        # per-proof heads/tails are small and fresh — summing two MSMs
+        # keeps the big one cache-hot instead of reconverting the combined
+        # list per batch
+        gen_res = get_backend(2 * max_pad).msm(G[:max_pad] + H[:max_pad],
+                                               g_comb + h_comb)
+        head_res = get_backend(len(points)).msm(points, scalars)
+        return (gen_res + head_res).is_identity()
+
+    k = len(per)
+    if check(range(k)):
+        return
+    if not localize:
         raise VerificationError("batch verification failed")
+    raise BatchVerificationError(bisect_batch_failures(check, k))
 
 
 class RandomizingVerifier(RandomizedConstraintSystem):

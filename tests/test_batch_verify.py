@@ -115,6 +115,67 @@ def test_batch_mixed_circuit_sizes(setup):
     batch_verify(items, g, h, G, H, rng=random.Random(9))
 
 
+def test_batch_verify_localizes_one_bad_of_8(setup):
+    """One corrupted proof among 8: the bisect fallback names its index
+    (VERDICT r3 task 7)."""
+    from bulletproofs_tpu.utils.errors import BatchVerificationError
+    g, h, G, H, proofs = setup
+    eight = (proofs * 2)[:8]
+    bad = bp.R1CSProof.from_bytes(eight[5][0].to_bytes())
+    bad.t_x = bad.t_x + bp.Scalar(1)
+    items = [(_verifier_for(comms, g, h), bad if i == 5 else proof)
+             for i, (proof, comms) in enumerate(eight)]
+    with pytest.raises(BatchVerificationError) as ei:
+        batch_verify(items, g, h, G, H, rng=random.Random(7))
+    assert ei.value.failed_indices == [5]
+
+
+def test_batch_verify_localizes_two_bad(setup):
+    from bulletproofs_tpu.utils.errors import BatchVerificationError
+    g, h, G, H, proofs = setup
+
+    def corrupt(proof):
+        b = bp.R1CSProof.from_bytes(proof.to_bytes())
+        b.e_blinding = b.e_blinding + bp.Scalar(3)
+        return b
+
+    items = []
+    for i, (proof, comms) in enumerate(proofs):
+        items.append((_verifier_for(comms, g, h),
+                      corrupt(proof) if i in (0, 3) else proof))
+    with pytest.raises(BatchVerificationError) as ei:
+        batch_verify(items, g, h, G, H, rng=random.Random(3))
+    assert ei.value.failed_indices == [0, 3]
+
+
+def test_batch_verify_localize_off(setup):
+    """localize=False keeps the single combined check and a plain error."""
+    from bulletproofs_tpu.utils.errors import BatchVerificationError
+    g, h, G, H, proofs = setup
+    bad = bp.R1CSProof.from_bytes(proofs[1][0].to_bytes())
+    bad.t_x = bad.t_x + bp.Scalar(1)
+    items = [(_verifier_for(comms, g, h), bad if i == 1 else proof)
+             for i, (proof, comms) in enumerate(proofs)]
+    with pytest.raises(VerificationError) as ei:
+        batch_verify(items, g, h, G, H, rng=random.Random(7),
+                     localize=False)
+    assert not isinstance(ei.value, BatchVerificationError)
+
+
+def test_bisect_batch_failures_unit():
+    """The bisect helper finds every bad index of a linear check."""
+    from bulletproofs_tpu.utils.errors import bisect_batch_failures
+    for k, bad_set in [(8, {5}), (8, {0, 3}), (5, {0, 2, 4}), (2, {1}),
+                       (9, {8}), (7, set(range(7)))]:
+        calls = []
+
+        def check(idxs, bad_set=bad_set, calls=calls):
+            calls.append(list(idxs))
+            return not (set(idxs) & bad_set)
+
+        assert bisect_batch_failures(check, k) == sorted(bad_set)
+
+
 # ---- standalone IPA batch verification (ipp.batch_verify_ipp) ----
 
 def _make_ipa(seed, n, Q, G, H):
@@ -157,11 +218,35 @@ def test_batch_verify_ipp_accepts_and_rejects():
         batch_verify_ipp(n, G, H, items(tamper=1), rng=random.Random(5))
 
 
+def test_batch_verify_ipp_localizes():
+    """One tampered IPA proof among 8 is named by index; works on both the
+    native and pure-Python combination paths."""
+    from bulletproofs_tpu import batch_verify_ipp
+    from bulletproofs_tpu.utils.errors import BatchVerificationError
+    n = 32
+    G = bp.get_generators("G", n)
+    H = bp.get_generators("H", n)
+    Q = bp.G1.from_msg_hash(b"Q")
+    made = [_make_ipa(800 + i, n, Q, G, H) for i in range(4)] * 2
+
+    def items(tamper):
+        out = []
+        for i, (pr, P, Gf, Hf) in enumerate(made):
+            a = pr.a + bp.Scalar(1) if i == tamper else pr.a
+            out.append((ProofTranscript(b"bipa"), Gf, Hf, P, Q,
+                        a, pr.b, pr.L, pr.R))
+        return out
+
+    with pytest.raises(BatchVerificationError) as ei:
+        batch_verify_ipp(n, G, H, items(6), rng=random.Random(5))
+    assert ei.value.failed_indices == [6]
+
+
 def test_batch_verify_ipp_python_fallback(monkeypatch):
-    """The pure-Python combination path (no native lib) must agree with
-    the native bp_ipa_svector/bp_axpy path."""
+    """The pure-Python combination path (BP_IPA_NATIVE_COMB=0) must agree
+    with the native bp_ipa_svector/bp_axpy path — including localization."""
     import bulletproofs_tpu.ipp as ipp_mod
-    from bulletproofs_tpu.ops import cpp_backend
+    from bulletproofs_tpu.utils.errors import BatchVerificationError
 
     n = 128                                # deeper s-vector recurrence
     G = bp.get_generators("G", n)
@@ -172,9 +257,17 @@ def test_batch_verify_ipp_python_fallback(monkeypatch):
               pr.L, pr.R) for pr, P, Gf, Hf in made]
     ipp_mod.batch_verify_ipp(n, G, H, items, rng=random.Random(5))
 
-    def boom():
-        raise RuntimeError("native disabled for test")
-    monkeypatch.setattr(cpp_backend, "get_lib", boom)
+    monkeypatch.setenv("BP_IPA_NATIVE_COMB", "0")
     items = [(ProofTranscript(b"bipa"), Gf, Hf, P, Q, pr.a, pr.b,
               pr.L, pr.R) for pr, P, Gf, Hf in made]
     ipp_mod.batch_verify_ipp(n, G, H, items, rng=random.Random(5))
+
+    # localization on the python path
+    items = []
+    for i, (pr, P, Gf, Hf) in enumerate(made):
+        a = pr.a + bp.Scalar(1) if i == 0 else pr.a
+        items.append((ProofTranscript(b"bipa"), Gf, Hf, P, Q, a, pr.b,
+                      pr.L, pr.R))
+    with pytest.raises(BatchVerificationError) as ei:
+        ipp_mod.batch_verify_ipp(n, G, H, items, rng=random.Random(5))
+    assert ei.value.failed_indices == [0]
