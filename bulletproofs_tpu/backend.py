@@ -19,9 +19,18 @@ class HostBackend:
 
     name = "host"
 
-    def msm(self, points, scalars):
-        """Sum_i scalars[i] * points[i] -> G1."""
+    def msm(self, points, scalars, ct=False):
+        """Sum_i scalars[i] * points[i] -> G1.
+
+        ct is accepted for interface parity and ignored: the exact-int
+        backend is the testing ground truth, never the production path for
+        secret data (big-int Python arithmetic is inherently value-
+        dependent in time)."""
         return ec_host.msm_host(points, scalars)
+
+    def msm_multi(self, points, scalar_sets, ct=False):
+        """k MSMs over one table (interface parity with CppBackend)."""
+        return [ec_host.msm_host(points, s) for s in scalar_sets]
 
     def fold_points(self, P_L, P_R, s1, s2):
         """[s1[i]*P_L[i] + s2[i]*P_R[i]] — the IPA basis fold

@@ -50,6 +50,7 @@ def get_lib():
                    "bp_add_batch", "bp_combine_rowcol",
                    "bp_combine_totals", "bp_ipp_round_lr",
                    "bp_ipp_round_fold", "bp_msm2_multi",
+                   "bp_msm2_ct", "bp_msm2_multi_ct",
                    "bp_ipp_round_lr_exp", "bp_fold4"):
             getattr(_lib, fn).restype = None
     return _lib
@@ -444,31 +445,39 @@ class CppBackend:
     def _abi(self, points):
         return _CurveABI(points[0].cv if points else curve())
 
-    def msm(self, points, scalars):
+    def msm(self, points, scalars, ct=False):
         """Native MSM: projective points straight through to bp_msm2, which
         batch-normalizes, signed-digit-recodes, and (bls381/bn254) GLV-splits
         in C++ — the round-2 Python-side big-int normalization was ~45% of
         wall time at n=2^16.  BP_CPP_LEGACY_MSM=1 keeps the old path for A/B.
+
+        ct=True routes to bp_msm2_ct, the constant-WORK core for secret
+        (witness) scalars: full-width window count, no zero-digit skips, no
+        GLV — the operation count is scalar-independent (the analog of the
+        reference's `G1Vector::inner_product_const_time`,
+        `/root/reference/src/r1cs/prover.rs:358,423`; posture in AUDIT.md).
+        Same group element bit-for-bit.
         """
         if not points:
             return G1.identity()
-        if os.environ.get("BP_CPP_LEGACY_MSM") == "1":
+        if os.environ.get("BP_CPP_LEGACY_MSM") == "1" and not ct:
             return self._msm_legacy(points, scalars)
         abi = self._abi(points)
         lib = get_lib()
         out = np.zeros(3 * abi.Lp, dtype=np.uint64)
-        lib.bp_msm2(_ptr(abi.params), _ptr(abi.glv_block()),
-                    _ptr(abi.points_to_buf_cached(points)),
-                    _ptr(abi.scalars_to_buf(scalars)),
-                    ctypes.c_uint64(len(points)), _ptr(out))
+        fn = lib.bp_msm2_ct if ct else lib.bp_msm2
+        fn(_ptr(abi.params), _ptr(abi.glv_block()),
+           _ptr(abi.points_to_buf_cached(points)),
+           _ptr(abi.scalars_to_buf(scalars)),
+           ctypes.c_uint64(len(points)), _ptr(out))
         return abi.buf_to_points(out, 1)[0]
 
-    def msm_multi(self, points, scalar_sets):
+    def msm_multi(self, points, scalar_sets, ct=False):
         """k MSMs over ONE point table in one native call: the (costly)
         batch normalization + GLV psi prep is shared across the k scalar
         sets.  Used by the prover's phase-1/phase-2 witness commitments
         (A_I, A_O, S over the same [G | H | h] table, `prover.rs:336-434`).
-        Returns k G1 results."""
+        Returns k G1 results.  ct=True: constant-work core (see `msm`)."""
         k = len(scalar_sets)
         if not points:
             return [G1.identity() for _ in range(k)]
@@ -478,10 +487,11 @@ class CppBackend:
         sbuf = np.concatenate(
             [abi.scalars_to_buf(s) for s in scalar_sets])
         out = np.zeros(k * 3 * abi.Lp, dtype=np.uint64)
-        lib.bp_msm2_multi(_ptr(abi.params), _ptr(abi.glv_block()),
-                          _ptr(abi.points_to_buf_cached(points)), _ptr(sbuf),
-                          ctypes.c_uint64(n), ctypes.c_uint64(k),
-                          _ptr(out))
+        fn = lib.bp_msm2_multi_ct if ct else lib.bp_msm2_multi
+        fn(_ptr(abi.params), _ptr(abi.glv_block()),
+           _ptr(abi.points_to_buf_cached(points)), _ptr(sbuf),
+           ctypes.c_uint64(n), ctypes.c_uint64(k),
+           _ptr(out))
         return abi.buf_to_points(out, k)
 
     def _msm_legacy(self, points, scalars):

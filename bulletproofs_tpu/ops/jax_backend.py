@@ -73,8 +73,14 @@ class JaxBackend:
         cv = points[0].cv if points else curve()
         return ej.CurveCtx(cv)
 
-    def msm(self, points, scalars):
-        """Sum_i scalars[i] * points[i] -> G1 (device Pippenger)."""
+    def msm(self, points, scalars, ct=False):
+        """Sum_i scalars[i] * points[i] -> G1 (device Pippenger).
+
+        ct is accepted for interface parity: the device schedule is already
+        input-independent up to the rare overflow re-dispatch — the static
+        round count comes from `occupancy_guess` (a function of n only) and
+        the per-shape escalation memo, never from a scan of the scalars
+        (AUDIT.md "Side-channel posture")."""
         if not points:
             return G1.identity()
         ctx = self._ctx(points)

@@ -13,6 +13,8 @@ arguments (`gadgets/README.md:3`) extended to the prover core so whole proofs
 are reproducible for testing.
 """
 
+import os
+
 from .. import ipp as ipp_mod
 from ..backend import get_backend
 from ..ops.field_host import (Scalar, inner_product, random_scalars,
@@ -285,6 +287,12 @@ class Prover(ConstraintSystem):
 
         G_n1, H_n1 = G[:n1], H[:n1]
         be = get_backend(2 * n1 + 1)
+        # Witness commitments run the constant-WORK MSM core by default
+        # (BP_MSM_CT=0 opts out): the scalars are the secret assignment
+        # vectors, exactly where the reference switches to
+        # `inner_product_const_time` (`prover.rs:358,423`; posture in
+        # AUDIT.md).  Proof bytes are identical either way.
+        ct = os.environ.get("BP_MSM_CT", "1") != "0"
         # A_I = <a_L, G> + <a_R, H> + i_blinding * h   [prover.rs:347-355]
         # A_O = <a_O, G> + o_blinding * h
         # S = <s_L, G> + <s_R, H> + s_blinding * h
@@ -295,13 +303,13 @@ class Prover(ConstraintSystem):
                 G_n1 + H_n1 + [self.h],
                 [self.a_L + self.a_R + [i_blinding1],
                  self.a_O + [0] * n1 + [o_blinding1],
-                 s_L1 + s_R1 + [s_blinding1]])
+                 s_L1 + s_R1 + [s_blinding1]], ct=ct)
         else:
             A_I1 = be.msm(G_n1 + H_n1 + [self.h],
-                          self.a_L + self.a_R + [i_blinding1])
-            A_O1 = be.msm(G_n1 + [self.h], self.a_O + [o_blinding1])
+                          self.a_L + self.a_R + [i_blinding1], ct=ct)
+            A_O1 = be.msm(G_n1 + [self.h], self.a_O + [o_blinding1], ct=ct)
             S1 = be.msm(G_n1 + H_n1 + [self.h],
-                        s_L1 + s_R1 + [s_blinding1])
+                        s_L1 + s_R1 + [s_blinding1], ct=ct)
 
         tr.commit_point(b"A_I1", A_I1)
         tr.commit_point(b"A_O1", A_O1)
@@ -334,15 +342,15 @@ class Prover(ConstraintSystem):
                     G_n2 + H_n2 + [self.h],
                     [self.a_L[n1:] + self.a_R[n1:] + [i_blinding2],
                      self.a_O[n1:] + [0] * n2 + [o_blinding2],
-                     s_L2 + s_R2 + [s_blinding2]])
+                     s_L2 + s_R2 + [s_blinding2]], ct=ct)
             else:
                 A_I2 = be2.msm(G_n2 + H_n2 + [self.h],
                                self.a_L[n1:] + self.a_R[n1:]
-                               + [i_blinding2])
+                               + [i_blinding2], ct=ct)
                 A_O2 = be2.msm(G_n2 + [self.h],
-                               self.a_O[n1:] + [o_blinding2])
+                               self.a_O[n1:] + [o_blinding2], ct=ct)
                 S2 = be2.msm(G_n2 + H_n2 + [self.h],
-                             s_L2 + s_R2 + [s_blinding2])
+                             s_L2 + s_R2 + [s_blinding2], ct=ct)
         else:
             ident = type(self.g).identity(self.g.cv)
             A_I2 = A_O2 = S2 = ident
@@ -362,7 +370,6 @@ class Prover(ConstraintSystem):
         exp_y_inv = vandermonde_vector(y_inv, padded_n)
         sL = s_L1 + s_L2
         sR = s_R1 + s_R2
-        import os
         be_ipa = get_backend(padded_n)
         native_polys = (n > 0 and padded_n >= 2
                         and getattr(be_ipa, "name", "") == "cpp"

@@ -811,13 +811,15 @@ static void store_pt(const CurveT<F>& c, const Pt& p, u64* dst) {
 // Entry-point bodies (templated; extern "C" wrappers dispatch on IFMA)
 // ---------------------------------------------------------------------------
 
-// out = sum_i scalars[i] * points[i]  (Pippenger, var-time)
+// out = sum_i scalars[i] * points[i]  (Pippenger, var-time; ct = constant
+// WORK: full-width window count, zero digits bucketed into the discarded
+// slot 0 — see msm_ifma8_signed's ct note)
 // `points` are AFFINE (x, y) pairs (the Python driver batch-normalizes and
 // zeroes the scalars of identity points); bucket accumulation uses mixed
 // adds on a=0 curves.
 template <class F>
 static void msm_impl(const CurveT<F>& c, const u64* points,
-                     const u64* scalars, u64 n, u64* out) {
+                     const u64* scalars, u64 n, u64* out, bool ct = false) {
     int L = c.fp.L64, Lr = c.Lr;
 
     std::vector<PtAff> pts(n);
@@ -827,8 +829,8 @@ static void msm_impl(const CurveT<F>& c, const u64* points,
         c.fp.abi_to_mont(points + i * 2 * L + L, pts[i].Y);
     }
 
-    int maxbits = 0;
-    for (u64 i = 0; i < n; i++) {
+    int maxbits = ct ? Lr * 64 : 0;
+    for (u64 i = 0; !ct && i < n; i++) {
         int b = scalar_bits(scalars + i * Lr, Lr);
         if (b > maxbits) maxbits = b;
     }
@@ -865,7 +867,7 @@ static void msm_impl(const CurveT<F>& c, const u64* points,
         for (u64 i = 0; i < n; i++) {
             const u64* k = scalars + i * Lr;
             const u64 dig = scalar_digit(k, Lr, w, cbits);
-            if (!dig) continue;
+            if (!dig && !ct) continue;
             if (used[dig]) {
                 if (!c.a_nonzero) {
                     pt_add_mixed(c, buckets[dig], pts[i], buckets[dig]);
@@ -1742,10 +1744,19 @@ static void msm_combine_windows8(const CurveT<Field52>& c,
 // (index = |digit|, negative digits schedule (X, nY)); phase B runs the
 // weighted bucket sums over a window count padded to a multiple of 8 so
 // every serial chain is 8-wide.
+//
+// ct: constant-WORK mode for secret-scalar (witness) MSMs — the analog of
+// the reference's G1Vector::inner_product_const_time
+// (/root/reference/src/r1cs/prover.rs:358,423).  Zero digits are inserted
+// into the discarded bucket slot 0 instead of skipped, so every point does
+// exactly nwin bucket adds regardless of scalar values (the caller fixes
+// nwin from the field width, not from a scan of the secret scalars).
+// Operation COUNT is input-independent; bucket ADDRESSES still follow the
+// digits (see AUDIT.md "Side-channel posture" for the full statement).
 BP_TGT
 static void msm_ifma8_signed(const CurveT<Field52>& c, const AffM* pts,
                              const int16_t* dig, u64 n_eff, int nwin,
-                             int cbits, u64* out) {
+                             int cbits, u64* out, bool ct = false) {
     F52x8 fx; fx.init(c.fp);
     const int K = c.fp.L;
     const u64 H = (u64)1 << (cbits - 1);
@@ -1795,7 +1806,9 @@ static void msm_ifma8_signed(const CurveT<Field52>& c, const AffM* pts,
                 __builtin_prefetch((const char*)&pts[i + PF], 0);
             }
             const int d = dw[i];
-            if (!d) continue;
+            if (!d && !ct) continue;
+            // ct: digit 0 adds into slot 0, which the combine (d = H..1)
+            // never reads — fixed nwin inserts per point
             Pt* slot = bw + (u64)(d < 0 ? -d : d);
             bool conflict = false;
             for (int l = 0; l < pend; l++)
@@ -1803,7 +1816,7 @@ static void msm_ifma8_signed(const CurveT<Field52>& c, const AffM* pts,
             if (conflict || pend == 8) flush();
             qb[pend] = slot;
             qxp[pend] = pts[i].X;
-            qyp[pend] = d > 0 ? pts[i].Y : pts[i].nY;
+            qyp[pend] = d >= 0 ? pts[i].Y : pts[i].nY;
             pend++;
         }
         flush();
@@ -2152,14 +2165,20 @@ static void msm_ifma8_signed_affine(const CurveT<Field52>& c,
 BP_TGT
 static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
                       const u64* pts_proj, const u64* scalars, u64 n,
-                      u64 k, u64* out) {
+                      u64 k, u64* out, bool ct = false) {
     const int Lr = c.Lr;
     const int L64 = c.fp.L64;
     std::vector<char> isid;
     std::vector<u64> AX(n * MAXL), AY(n * MAXL);
     normalize_points(c, pts_proj, n, AX.data(), AY.data(), isid);
 
-    const bool glv = g.enabled;
+    // ct (constant-work witness mode): full-width window count from the
+    // limb width (no scan of the secret scalars), no GLV split (its output
+    // magnitudes would need a scan-free bound), no zero-digit skips in the
+    // core, no maxbits early-out.  Identity POINTS still recode to all-zero
+    // digits — point structure is public (generators), only scalars are
+    // secret.
+    const bool glv = g.enabled && !ct;
     const u64 n_eff = glv ? 2 * n : n;
     std::vector<AffM> pts(n_eff);
     u64 zero[MAXL] = {0};
@@ -2179,8 +2198,8 @@ static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
     for (u64 set = 0; set < k; set++) {
         const u64* sc = scalars + set * n * Lr;
         u64* out_set = out + set * 3 * L64;
-        int maxbits = 0;
-        for (u64 i = 0; i < n; i++) {
+        int maxbits = ct ? Lr * 64 : 0;
+        for (u64 i = 0; !ct && i < n; i++) {
             if (isid[i]) {
                 if (glv) {
                     memset(&S[i * 4], 0, 4 * sizeof(u64));
@@ -2235,12 +2254,12 @@ static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
         // backout/writeback passes, while pt_add_mixed8 keeps everything
         // in zmm registers.  Kept (bit-exact) for future A/B.
         const char* aff = getenv("BP_MSM_AFFINE");
-        if (aff && aff[0] == '1')
+        if (aff && aff[0] == '1' && !ct)   // ct forces the projective core
             msm_ifma8_signed_affine(c, pts.data(), dig.data(), n_eff, nwin,
                                     cbits, out_set);
         else
             msm_ifma8_signed(c, pts.data(), dig.data(), n_eff, nwin, cbits,
-                             out_set);
+                             out_set, ct);
     }
 }
 
@@ -2250,7 +2269,8 @@ static void msm2_ifma(const CurveT<Field52>& c, const GlvCtx& g,
 // unsigned core (msm_impl) on the affine buffer.
 template <class F>
 static void msm2_generic(const CurveT<F>& c, const u64* pts_proj,
-                         const u64* scalars, u64 n, u64* out) {
+                         const u64* scalars, u64 n, u64* out,
+                         bool ct = false) {
     const int L = c.fp.L64, Lr = c.Lr;
     std::vector<char> isid;
     std::vector<u64> AX(n * MAXL), AY(n * MAXL);
@@ -2266,7 +2286,7 @@ static void msm2_generic(const CurveT<F>& c, const u64* pts_proj,
         c.fp.mont_to_abi(&AX[i * MAXL], &aff[i * 2 * L]);
         c.fp.mont_to_abi(&AY[i * MAXL], &aff[i * 2 * L + L]);
     }
-    msm_impl(c, aff.data(), ks.data(), n, out);
+    msm_impl(c, aff.data(), ks.data(), n, out, ct);
 }
 
 // Scalar-field (mod r) Montgomery context for the native IPA round loop.
@@ -2357,9 +2377,9 @@ void bp_msm(const u64* params, const u64* points, const u64* scalars,
 // k independent MSMs over ONE point table (scalars: k sets of n, stride
 // n*Lr; out: k points).  The IFMA path shares the point normalization +
 // GLV psi prep across sets; fallbacks loop.
-void bp_msm2_multi(const u64* params, const u64* glv_params,
-                   const u64* points, const u64* scalars, u64 n, u64 k,
-                   u64* out) {
+static void msm2_multi_impl(const u64* params, const u64* glv_params,
+                            const u64* points, const u64* scalars, u64 n,
+                            u64 k, u64* out, bool ct) {
     CurveT<Field> c = load_curve(params);
     const int L64 = c.fp.L64;
     const int Lr = (int)c.Lr;
@@ -2380,22 +2400,46 @@ void bp_msm2_multi(const u64* params, const u64* glv_params,
                 memcpy(g.mu, glv_params + 5, 5 * sizeof(u64));
                 c52.fp.abi_to_mont(glv_params + 10, g.beta_m);
             }
-            msm2_ifma(c52, g, points, scalars, n, k, out);
+            msm2_ifma(c52, g, points, scalars, n, k, out, ct);
             return;
         }
         for (u64 s = 0; s < k; s++)
             msm2_generic(c52, points, scalars + s * n * Lr, n,
-                         out + s * 3 * L64);
+                         out + s * 3 * L64, ct);
         return;
 #endif
     }
     for (u64 s = 0; s < k; s++)
-        msm2_generic(c, points, scalars + s * n * Lr, n, out + s * 3 * L64);
+        msm2_generic(c, points, scalars + s * n * Lr, n, out + s * 3 * L64,
+                     ct);
+}
+
+void bp_msm2_multi(const u64* params, const u64* glv_params,
+                   const u64* points, const u64* scalars, u64 n, u64 k,
+                   u64* out) {
+    msm2_multi_impl(params, glv_params, points, scalars, n, k, out, false);
+}
+
+// Constant-WORK variant for secret-scalar (witness) MSMs: fixed full-width
+// window count, no zero-digit skips, no GLV split, no maxbits scan — the
+// operation count is independent of the scalar values.  Replaces the
+// reference's G1Vector::inner_product_const_time witness commitments
+// (/root/reference/src/r1cs/prover.rs:358,423).  Same group elements
+// bit-for-bit as bp_msm2_multi.
+void bp_msm2_multi_ct(const u64* params, const u64* glv_params,
+                      const u64* points, const u64* scalars, u64 n, u64 k,
+                      u64* out) {
+    msm2_multi_impl(params, glv_params, points, scalars, n, k, out, true);
 }
 
 void bp_msm2(const u64* params, const u64* glv_params, const u64* points,
              const u64* scalars, u64 n, u64* out) {
-    bp_msm2_multi(params, glv_params, points, scalars, n, 1, out);
+    msm2_multi_impl(params, glv_params, points, scalars, n, 1, out, false);
+}
+
+void bp_msm2_ct(const u64* params, const u64* glv_params, const u64* points,
+                const u64* scalars, u64 n, u64* out) {
+    msm2_multi_impl(params, glv_params, points, scalars, n, 1, out, true);
 }
 
 void bp_fold(const u64* params, const u64* PL, const u64* PR,
