@@ -376,6 +376,113 @@ def _ipa_round_update(A, B, rG, rH, u_m, u_inv_m, n_j, fr):
     return A2, B2, rG2, rH2
 
 
+# ---------------------------------------------------------------------------
+# FUSED device IPA: all log2(n) rounds + the Fiat-Shamir transcript in ONE
+# jitted dispatch (VERDICT r3 tasks 2/9).  The per-round host round-trip
+# (2 calls x ~30 ms tunnel RTT x log n rounds) was the device prover's
+# latency floor; with the STROBE state machine on device
+# (ops/transcript_device.py) the only host contact is one upload and one
+# download per IPA.
+# ---------------------------------------------------------------------------
+
+_fused_memo = {}
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def _ipa_fused_jit(state, pts, A, B, rG, rH, ctx, c, n_rounds, affine,
+                   lg_n, pos, pos_begin, cur_flags):
+    """One dispatch for the whole IPA: per round, build the L/R scalar sets
+    (implicit basis), run the 2-set bucket MSM with a pure-device combine,
+    serialize L/R, absorb them into the device transcript, squeeze the
+    challenge, and fold.  Returns (lr_bytes (lg_n, 2, 2mb+1), a_plain,
+    b_plain, final_strobe_state, max_occupancy)."""
+    from .transcript_device import DeviceTranscript, serialize_points
+    fr = ctx.fr
+    n = A.shape[-1]
+    W = -(-ctx.cv.fr.n_bits // c)
+    plan = msm_mod.window_plan(ctx, c, n_sets=2, dup=msm_mod._use_dup())
+    t = DeviceTranscript.from_snapshot(state, pos, pos_begin, cur_flags)
+    lr_bytes = []
+    occ_max = jnp.zeros((), jnp.int32)
+    n_j = n
+    for _ in range(lg_n):
+        scal2 = _ipa_round_scalars(A, B, rG, rH, n_j, fr)  # (2, Lr, 2n+2)
+        digits = msm_mod._digits_multi(scal2, ctx, c)
+        buckets, occ = msm_mod.bucket_accumulate(
+            pts, digits, ctx, c, n_rounds, plan=plan, affine=affine)
+        rowsum, colsum = msm_mod.bucket_rowcol(buckets, ctx, c)
+        LR = msm_mod.combine_from_rowcol(rowsum, colsum, ctx, c,
+                                         wins_per_set=W)   # (3, L, 2)
+        occ_max = jnp.maximum(occ_max, occ)
+        pb = serialize_points(LR, ctx)                      # (2, 2mb+1)
+        t.commit_point_bytes(b"L", pb[0])
+        t.commit_point_bytes(b"R", pb[1])
+        u_m = t.challenge_scalar_mont(b"u", ctx)
+        u_inv_m = fj.inv_mont(u_m, fr)
+        A, B, rG, rH = _ipa_round_update(A, B, rG, rH, u_m, u_inv_m,
+                                         n_j, fr)
+        lr_bytes.append(pb)
+        n_j //= 2
+    a_p = _to_plain(A[:, :1], fr)
+    b_p = _to_plain(B[:, :1], fr)
+    return (jnp.stack(lr_bytes), a_p, b_p, t.strobe.st, occ_max)
+
+
+def create_ipp_implicit_fused(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
+                              window=None, affine=False):
+    """Fused-dispatch variant of `create_ipp_implicit`: byte-identical
+    proofs and transcript evolution (tests/test_ipa_fused.py), one device
+    round-trip for all rounds."""
+    from .transcript_device import DeviceTranscript, replay_positions
+    from .ec_host import G1
+    fr = ctx.fr
+    n = A.shape[-1]
+    lg_n = n.bit_length() - 1
+    assert (1 << lg_n) == n
+    mb = ctx.cv.modbytes
+
+    transcript.innerproduct_domain_sep(n)
+    snap, pos, pb_, fl = DeviceTranscript.snapshot(transcript)
+    c = window or int(os.environ.get("BP_IPA_WINDOW", "0")) \
+        or msm_mod.pick_window(2 * n + 2)
+
+    key = (n, c, ctx.cv.name)
+    rounds = _fused_memo.get(key, msm_mod.occupancy_guess(n + 1, ctx, c))
+    while True:
+        with _timed("ipa_fused_kernel"):
+            out = _ipa_fused_jit(jnp.asarray(snap), pts_dev, A, B,
+                                 Gf_m, Hf_m, ctx, c, rounds, affine,
+                                 lg_n, pos, pb_, fl)
+        with _timed("ipa_fused_fetch"):
+            lr_np, a_p, b_p, final_state, occ = jax.device_get(out)
+        if int(occ) <= rounds:
+            break
+        rounds = (int(occ) + 15) // 16 * 16
+    _fused_memo[key] = rounds
+
+    # host L/R points from the device-serialized bytes (from_bytes also
+    # re-checks on-curve — a cheap integrity net over the fused kernel)
+    L_vec, R_vec = [], []
+    for j in range(lg_n):
+        L_vec.append(G1.from_bytes(
+            bytes(lr_np[j, 0].astype(np.uint8)), ctx.cv))
+        R_vec.append(G1.from_bytes(
+            bytes(lr_np[j, 1].astype(np.uint8)), ctx.cv))
+
+    # transcript writeback: state bytes from the device, position registers
+    # from a dummy replay of the (static) schedule
+    sched = []
+    for _ in range(lg_n):
+        sched += [("msg", b"L", 2 * mb + 1), ("msg", b"R", 2 * mb + 1),
+                  ("challenge", b"u", mb)]
+    rp, rpb, rfl = replay_positions(transcript, sched)
+    DeviceTranscript.writeback(transcript, final_state, rp, rpb, rfl)
+
+    a = Scalar(fj.limbs_to_ints(a_p)[0])
+    b = Scalar(fj.limbs_to_ints(b_p)[0])
+    return L_vec, R_vec, a, b
+
+
 def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
                         window=None, affine=False):
     """Device IPA prover with implicit basis folding.
@@ -384,7 +491,15 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
     Gf_m/Hf_m: (Lr, n) Montgomery G/H factors (the reference's first-round
     fold-in, `ipp.rs:68-136`, becomes the s-vector initialization here).
     A, B: (Lr, n) Montgomery a/b vectors.  Returns (L_vec, R_vec, a, b).
+
+    BP_IPA_FUSED=1 (default) runs ALL rounds + the Fiat-Shamir transcript
+    in one dispatch (`create_ipp_implicit_fused`); =0 keeps the per-round
+    path (2 dispatches/round) for A/B.
     """
+    if os.environ.get("BP_IPA_FUSED", "1") != "0":
+        return create_ipp_implicit_fused(transcript, Gf_m, Hf_m, pts_dev,
+                                         A, B, ctx, window=window,
+                                         affine=affine)
     fr = ctx.fr
     n = A.shape[-1]
     lg_n = n.bit_length() - 1
