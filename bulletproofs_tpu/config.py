@@ -73,6 +73,16 @@ class CurveParams:
     # Serialized byte width of a field element (amcl MODBYTES)
     modbytes: int
     a: int = 0
+    # AMCL-Edwards serialization boundary (ed25519 only): when ed_d is set,
+    # point bytes / hash-to-curve use TWISTED EDWARDS coordinates
+    # (-x^2 + y^2 = 1 + ed_d x^2 y^2, AMCL CURVETYPE EDWARDS semantics)
+    # while internal arithmetic stays short-Weierstrass.  mont_A is the
+    # Montgomery A (u^2 term) of the intermediate curve; ed_c the fixed
+    # sqrt(-(mont_A + 2)) choice that maps the Weierstrass generator to the
+    # curve's standard Edwards base point (verified in test_ed25519.py).
+    ed_d: int = None
+    mont_A: int = None
+    ed_c: int = None
     fp: FieldParams = field(default=None)
     fr: FieldParams = field(default=None)
 
@@ -141,6 +151,15 @@ ED25519 = CurveParams(
     gx=0x2AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAD245A,
     gy=0x20AE19A1B8A086B4E01EDD2C7748D14C923D4D7E6D7C61B229E9C5A27ECED3D9,
     modbytes=32,
+    # AMCL's ed25519 is CURVETYPE EDWARDS: serialization/hash-to-curve use
+    # the twisted Edwards form (a = -1, d = -121665/121666) so transcript
+    # bytes match the reference's `ed25519` feature (round-4 parity; the
+    # round-1..3 Weierstrass byte encoding is retired, AUDIT.md section 6).
+    # ed_c^2 = -486664 with the sign fixed so gx/gy above map to the
+    # standard base point (x_B, 4/5) — verified in tests/test_ed25519.py.
+    ed_d=0x52036CEE2B6FFE738CC740797779E89800700A4D4141D8AB75EB4DCA135978A3,
+    mont_A=486662,
+    ed_c=0x70D9120B9F5FF9442D84F723FC03B0813A5E2C2EB482E57D3391FB5500BA81E7,
 )
 
 CURVES = {"bls381": BLS381, "bn254": BN254, "secp256k1": SECP256K1,

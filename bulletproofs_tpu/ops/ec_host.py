@@ -73,6 +73,23 @@ class G1:
         c = cv or curve()
         h = hashlib.shake_256(msg).digest(c.modbytes)
         x = int.from_bytes(h, "big") % c.p
+        if c.ed_d is not None:
+            # AMCL CURVETYPE EDWARDS mapit: try-and-increment on the
+            # EDWARDS equation, rhs = (a x^2 - 1)/(d x^2 - 1) with a = -1
+            # (i.e. (x^2 + 1)/(1 - d x^2)), even-parity y, then clear the
+            # cofactor.  d is a non-square so the denominator never
+            # vanishes.
+            while True:
+                num = (x * x + 1) % c.p
+                den = (1 - c.ed_d * x % c.p * x) % c.p
+                y = _sqrt_mod(num * pow(den, -1, c.p) % c.p, c.p)
+                if y is not None:
+                    break
+                x += 1
+            if y & 1:
+                y = c.p - y
+            pt = cls.from_edwards(x, y, c)
+            return pt._mul_int(c.cofactor)
         while True:
             rhs = (x * x % c.p * x + c.a * x + c.b) % c.p
             y = _sqrt_mod(rhs, c.p)
@@ -109,8 +126,50 @@ class G1:
         zinv = pow(self.Z, -1, p)
         return (self.X * zinv % p, self.Y * zinv % p)
 
+    def to_edwards(self):
+        """Affine twisted-Edwards (x, y) of this point (ed25519 only; the
+        AMCL byte-level coordinates).  Chain: Weierstrass -> Montgomery
+        (u = x_W - A/3, v = y_W) -> Edwards (y = (u-1)/(u+1),
+        x = ed_c * u / v).  Identity -> (0, 1), the Edwards neutral."""
+        c = self.cv
+        assert c.ed_d is not None, "not an Edwards-serialized curve"
+        if self.Z == 0:
+            return (0, 1)
+        p = c.p
+        xw, yw = self.affine()
+        u = (xw - c.mont_A * pow(3, -1, p)) % p
+        v = yw
+        # u = -1 or v = 0 are the order-2/4 points, excluded from the
+        # prime-order subgroup this class represents
+        assert v != 0 and u != p - 1, "exceptional point (not in subgroup)"
+        y_e = (u - 1) * pow(u + 1, -1, p) % p
+        x_e = c.ed_c * u % p * pow(v, -1, p) % p
+        return (x_e, y_e)
+
+    @classmethod
+    def from_edwards(cls, x_e, y_e, cv=None):
+        """Twisted-Edwards affine (x, y) -> internal Weierstrass point
+        (inverse of `to_edwards`); validates the Edwards curve equation."""
+        c = cv or curve()
+        p = c.p
+        if x_e == 0 and y_e == 1:
+            return cls.identity(c)
+        lhs = (-(x_e * x_e) + y_e * y_e) % p
+        rhs = (1 + c.ed_d * x_e % p * x_e % p * y_e % p * y_e) % p
+        assert lhs == rhs, "point not on Edwards curve"
+        assert x_e != 0 and (1 - y_e) % p != 0, \
+            "exceptional point (order 2/4, not in subgroup)"
+        u = (1 + y_e) * pow(1 - y_e, -1, p) % p
+        v = c.ed_c * u % p * pow(x_e, -1, p) % p
+        xw = (u + c.mont_A * pow(3, -1, p)) % p
+        return cls(xw, v, 1, c)
+
     def to_bytes(self):
-        x, y = self.affine()
+        if self.cv.ed_d is not None:
+            # AMCL CURVETYPE EDWARDS: tobytes emits the EDWARDS (x, y)
+            x, y = self.to_edwards()
+        else:
+            x, y = self.affine()
         mb = self.cv.modbytes
         return b"\x04" + x.to_bytes(mb, "big") + y.to_bytes(mb, "big")
 
@@ -123,13 +182,17 @@ class G1:
         y = int.from_bytes(data[1 + mb:], "big")
         if x == 0 and y == 1:
             return cls.identity(c)
-        pt = cls(x, y, 1, c)
-        assert pt.is_on_curve(), "point not on curve"
+        if c.ed_d is not None:
+            assert x < c.p and y < c.p, "coordinate out of range"
+            pt = cls.from_edwards(x, y, c)
+        else:
+            pt = cls(x, y, 1, c)
+            assert pt.is_on_curve(), "point not on curve"
         if c.cofactor != 1:
-            # Externally-supplied points on cofactor>1 curves (ed25519's
-            # Weierstrass form, h=8) must lie in the prime-order subgroup:
-            # RCB16 completeness and the protocol's soundness both assume
-            # odd order (ADVICE.md round 2).  r*P == O iff P is in G1.
+            # Externally-supplied points on cofactor>1 curves (ed25519,
+            # h=8) must lie in the prime-order subgroup: RCB16 completeness
+            # and the protocol's soundness both assume odd order
+            # (ADVICE.md round 2).  r*P == O iff P is in G1.
             assert pt._mul_int(c.r).is_identity(), \
                 "point not in prime-order subgroup"
         return pt

@@ -274,6 +274,9 @@ def serialize_points(pts_mont, ctx):
     """(3, L, k) Montgomery projective points -> (k, 2*mb+1) uint32 bytes,
     exactly `G1.to_bytes` (0x04 || x_be || y_be, identity -> (0, 1);
     `transcript.rs:51-53`).  Costs one batched Fermat inversion of Z."""
+    assert ctx.cv.ed_d is None, \
+        "device serializer emits Weierstrass bytes; Edwards-serialized " \
+        "curves (ed25519) must use the host transcript path"
     fp = ctx.fp
     X, Y, Z = pts_mont[0], pts_mont[1], pts_mont[2]   # (L, k)
     z_inv = fj.inv_mont(Z, fp)                        # 0 stays 0

@@ -27,9 +27,18 @@ _DISK_DIR = os.environ.get("BP_GENERATOR_CACHE", "/root/.bp_generators")
 # Indices re-derived from scratch on every disk load (plus the last entry).
 _SPOT_CHECKS = 4
 
+# Hash-to-curve SEMANTICS version, baked into the cache filename: bump it
+# whenever from_msg_hash's observable output changes so stale caches are
+# ignored, not spot-checked.  (Round-4 lesson: the round-3 even-parity fix
+# left pre-fix secp256k1 caches in place, and a parity-flipped y is still
+# on-curve — the fixed-stride spot checks missed the flipped entries and a
+# stale cache leaked into the frozen golden vectors.)
+#   v2 = round-3 even-parity y selection + round-4 ed25519 Edwards mapit
+_SCHEMA = "v2"
+
 
 def _disk_path(curve_name, prefix):
-    return os.path.join(_DISK_DIR, f"{curve_name}_{prefix}.json")
+    return os.path.join(_DISK_DIR, f"{curve_name}_{prefix}_{_SCHEMA}.json")
 
 
 def _derive(prefix, i, cv):
@@ -54,9 +63,11 @@ def _load_validated(path, prefix, cv):
             return []
         pts.append(p)
     n = len(pts)
+    # fixed anchors + RANDOM indices per load: a tamperer (or a stale
+    # cache) cannot predict which entries are re-derived
+    import random as _random
     idxs = {0, n - 1}
-    step = max(1, n // _SPOT_CHECKS)
-    idxs.update(range(0, n, step))
+    idxs.update(_random.randrange(n) for _ in range(_SPOT_CHECKS))
     for i in idxs:
         if pts[i] != _derive(prefix, i, cv):
             return []

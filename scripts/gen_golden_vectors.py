@@ -49,6 +49,15 @@ VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "vectors")
 CURVE_NAMES = ["bls381", "bn254", "secp256k1", "ed25519"]
 
 
+def _ser_affine(p):
+    """The SERIALIZED affine coordinates (what to_bytes emits — identical
+    to .affine() on Weierstrass-serialized curves; twisted-Edwards (x, y)
+    on ed25519, matching AMCL's ECP layout)."""
+    if p.cv.ed_d is not None:
+        return p.to_edwards()
+    return p.affine()
+
+
 def gen_generator_vectors():
     out = {}
     for name in CURVE_NAMES:
@@ -56,12 +65,12 @@ def gen_generator_vectors():
             entry = {}
             for label in ("g", "h"):
                 p = G1.from_msg_hash(label.encode())
-                x, y = p.affine()
+                x, y = _ser_affine(p)
                 entry[label] = [hex(x), hex(y)]
             entry["G"] = [[hex(x), hex(y)] for x, y in
-                          (p.affine() for p in get_generators("G", 64))]
+                          (_ser_affine(p) for p in get_generators("G", 64))]
             entry["H"] = [[hex(x), hex(y)] for x, y in
-                          (p.affine() for p in get_generators("H", 8))]
+                          (_ser_affine(p) for p in get_generators("H", 8))]
             out[name] = entry
     return out
 

@@ -93,3 +93,77 @@ def test_ed25519_gadget_suite(rng):
             b"edpos", g, h, G, H)
         ph.verify_proof_of_knowledge_of_preimage_of_Poseidon_2(
             image, params, SboxType.Cube, proof, comms, b"edpos", g, h, G, H)
+
+
+def test_ed25519_edwards_serialization():
+    """Round-4 AMCL parity: point bytes are TWISTED EDWARDS coordinates
+    (AMCL CURVETYPE EDWARDS tobytes layout).  The Weierstrass generator
+    must serialize to the STANDARD Ed25519 base point (x_B, 4/5) — pinning
+    both the Edwards map and the ed_c sign choice."""
+    with using_curve(ED25519):
+        g = G1.generator()
+        p = ED25519.p
+        x_B = 0x216936D3CD6E53FEC0A4E231FDD6DC5C692CC7609525A7B2C9562D608F25D51A
+        y_B = 4 * pow(5, -1, p) % p
+        want = b"\x04" + x_B.to_bytes(32, "big") + y_B.to_bytes(32, "big")
+        assert g.to_bytes() == want
+        assert G1.from_bytes(want) == g
+
+        # Edwards round-trip + on-curve for arbitrary subgroup points
+        rng = random.Random(0xEDE)
+        for _ in range(6):
+            pt = G1.random(rng)
+            x_e, y_e = pt.to_edwards()
+            assert (-(x_e * x_e) + y_e * y_e) % p == \
+                (1 + ED25519.ed_d * x_e % p * x_e % p * y_e % p * y_e) % p
+            assert G1.from_edwards(x_e, y_e) == pt
+            assert G1.from_bytes(pt.to_bytes()) == pt
+
+        # identity encodes as the Edwards neutral (0, 1)
+        ident = G1.identity()
+        assert ident.to_bytes() == \
+            b"\x04" + (0).to_bytes(32, "big") + (1).to_bytes(32, "big")
+        assert G1.from_bytes(ident.to_bytes()).is_identity()
+
+        # group homomorphism through the map: ser(P+Q) decodes to P+Q
+        a, b = G1.random(rng), G1.random(rng)
+        assert G1.from_bytes(a.to_bytes()) + G1.from_bytes(b.to_bytes()) \
+            == (a + b)
+
+        # off-curve Edwards bytes and order-2/4 encodings must be rejected
+        import pytest as _pytest
+        bad = bytearray(want)
+        bad[40] ^= 1
+        with _pytest.raises(AssertionError):
+            G1.from_bytes(bytes(bad))
+        two_tor = b"\x04" + (0).to_bytes(32, "big") + (p - 1).to_bytes(32, "big")
+        with _pytest.raises(AssertionError):
+            G1.from_bytes(two_tor)
+
+
+def test_ed25519_mapit_edwards_semantics():
+    """from_msg_hash follows AMCL's EDWARDS mapit: try-and-increment x on
+    the Edwards equation, even-parity y BEFORE cofactor clearing, then x8.
+    Re-derive one generator by hand and compare."""
+    import hashlib
+    with using_curve(ED25519):
+        p, d = ED25519.p, ED25519.ed_d
+        msg = b"G1"
+        x = int.from_bytes(hashlib.shake_256(msg).digest(32), "big") % p
+
+        def sqrt5mod8(n):
+            y = pow(n, (p + 3) // 8, p)
+            if y * y % p != n:
+                y = y * pow(2, (p - 1) // 4, p) % p
+            return y if y * y % p == n % p else None
+
+        while True:
+            rhs = (x * x + 1) * pow(1 - d * x * x % p, -1, p) % p
+            y = sqrt5mod8(rhs)
+            if y is not None:
+                break
+            x += 1
+        if y & 1:
+            y = p - y
+        want = G1.from_edwards(x, y)._mul_int(8)
+        assert G1.from_msg_hash(msg) == want
