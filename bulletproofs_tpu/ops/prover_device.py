@@ -388,6 +388,84 @@ def _ipa_round_update(A, B, rG, rH, u_m, u_inv_m, n_j, fr):
 _fused_memo = {}
 
 
+def _tree_sum_mod(prod, fr):
+    """Halving-tree sum over the last axis of an (Lr, ..., n) mod-r array."""
+    n = prod.shape[-1]
+    while n > 1:
+        half = (n + 1) // 2
+        left = prod[..., :half]
+        right = prod[..., half:n]
+        if right.shape[-1] < half:
+            right = jnp.concatenate(
+                [right, jnp.zeros(right.shape[:-1] +
+                                  (half - right.shape[-1],), right.dtype)],
+                axis=-1)
+        prod = fj.add_mod(left, right, fr)
+        n = half
+    return prod
+
+
+def _round_masks_traced(n, j, lg_n):
+    """Traced-round-index analogs of the static n_j block masks: after j
+    rounds the live block size is n_j = n >> j; bit_i = (i >> (lg_n-1-j))&1
+    marks the high half of each block, partner_i = i XOR (n_j/2)."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sh = jnp.int32(lg_n - 1) - j.astype(jnp.int32)
+    bit = (jnp.right_shift(iota, sh) & 1).astype(jnp.uint32)
+    half = jnp.left_shift(jnp.int32(1), sh)
+    partner = iota ^ half
+    return iota, bit, half, partner
+
+
+def _ipa_round_scalars_traced(A, B, rG, rH, j, lg_n, fr):
+    """`_ipa_round_scalars` with a TRACED round index (fori-loop body form;
+    identical algebra — fused-vs-per-round byte equality is pinned by
+    tests/test_ipa_fused.py)."""
+    Lr, n = A.shape
+    iota, bit, half, partner = _round_masks_traced(n, j, lg_n)
+    idx = jnp.broadcast_to(partner[None, :], (Lr, n))
+    swapA = jnp.take_along_axis(A, idx, axis=1)
+    swapB = jnp.take_along_axis(B, idx, axis=1)
+    lo = iota < half                      # block-0 low half only
+    c_L = _tree_sum_mod(
+        jnp.where(lo[None], fj.mont_mul(A, swapB, fr), 0), fr)
+    c_R = _tree_sum_mod(
+        jnp.where(lo[None], fj.mont_mul(swapA, B, fr), 0), fr)
+    prodG = fj.mont_mul(swapA, rG, fr)
+    prodH = fj.mont_mul(swapB, rH, fr)
+    zero = jnp.zeros((Lr, 1), jnp.uint32)
+    sG_L = jnp.where(bit == 1, prodG, 0)
+    sG_R = jnp.where(bit == 0, prodG, 0)
+    sH_L = jnp.where(bit == 0, prodH, 0)
+    sH_R = jnp.where(bit == 1, prodH, 0)
+    L_scal = jnp.concatenate([sG_L, sH_L, c_L, zero], axis=-1)
+    R_scal = jnp.concatenate([sG_R, sH_R, c_R, zero], axis=-1)
+    return jnp.stack([_to_plain(L_scal, fr), _to_plain(R_scal, fr)],
+                     axis=0)                          # (2, Lr, 2n+2)
+
+
+def _ipa_round_update_traced(A, B, rG, rH, u_m, u_inv_m, j, lg_n, fr):
+    """`_ipa_round_update` with a traced round index."""
+    Lr, n = A.shape
+    _, bit, _, partner = _round_masks_traced(n, j, lg_n)
+    idx = jnp.broadcast_to(partner[None, :], (Lr, n))
+    swapA = jnp.take_along_axis(A, idx, axis=1)
+    swapB = jnp.take_along_axis(B, idx, axis=1)
+    lowA = jnp.where(bit == 1, swapA, A)
+    highA = jnp.where(bit == 1, A, swapA)
+    lowB = jnp.where(bit == 1, swapB, B)
+    highB = jnp.where(bit == 1, B, swapB)
+    A2 = fj.add_mod(fj.mont_mul(lowA, u_m, fr),
+                    fj.mont_mul(highA, u_inv_m, fr), fr)
+    B2 = fj.add_mod(fj.mont_mul(lowB, u_inv_m, fr),
+                    fj.mont_mul(highB, u_m, fr), fr)
+    uu = jnp.where(bit == 1, jnp.broadcast_to(u_m, rG.shape),
+                   jnp.broadcast_to(u_inv_m, rG.shape))
+    uu_inv = jnp.where(bit == 1, jnp.broadcast_to(u_inv_m, rH.shape),
+                       jnp.broadcast_to(u_m, rH.shape))
+    return (A2, B2, fj.mont_mul(rG, uu, fr), fj.mont_mul(rH, uu_inv, fr))
+
+
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def _ipa_fused_jit(state, pts, A, B, rG, rH, ctx, c, n_rounds, affine,
                    lg_n, pos, pos_begin, cur_flags):
@@ -395,37 +473,70 @@ def _ipa_fused_jit(state, pts, A, B, rG, rH, ctx, c, n_rounds, affine,
     (implicit basis), run the 2-set bucket MSM with a pure-device combine,
     serialize L/R, absorb them into the device transcript, squeeze the
     challenge, and fold.  Returns (lr_bytes (lg_n, 2, 2mb+1), a_plain,
-    b_plain, final_strobe_state, max_occupancy)."""
+    b_plain, final_strobe_state, max_occupancy).
+
+    Round 1 is traced at the caller's transcript positions; rounds 2..lg_n
+    run as a lax.fori_loop — the STROBE registers are round-invariant after
+    the first challenge (a PRF squeeze always leaves pos = modbytes,
+    pos_begin = 0), so ONE compiled body serves every round.  (The
+    fully-unrolled form produced a 32 MB MLIR module that the remote TPU
+    compile helper OOM-killed.)"""
     from .transcript_device import DeviceTranscript, serialize_points
     fr = ctx.fr
     n = A.shape[-1]
     W = -(-ctx.cv.fr.n_bits // c)
     plan = msm_mod.window_plan(ctx, c, n_sets=2, dup=msm_mod._use_dup())
-    t = DeviceTranscript.from_snapshot(state, pos, pos_begin, cur_flags)
-    lr_bytes = []
-    occ_max = jnp.zeros((), jnp.int32)
-    n_j = n
-    for _ in range(lg_n):
-        scal2 = _ipa_round_scalars(A, B, rG, rH, n_j, fr)  # (2, Lr, 2n+2)
+    PB = 2 * ctx.cv.modbytes + 1
+
+    def msm_round(scal2):
         digits = msm_mod._digits_multi(scal2, ctx, c)
         buckets, occ = msm_mod.bucket_accumulate(
             pts, digits, ctx, c, n_rounds, plan=plan, affine=affine)
         rowsum, colsum = msm_mod.bucket_rowcol(buckets, ctx, c)
         LR = msm_mod.combine_from_rowcol(rowsum, colsum, ctx, c,
                                          wins_per_set=W)   # (3, L, 2)
-        occ_max = jnp.maximum(occ_max, occ)
-        pb = serialize_points(LR, ctx)                      # (2, 2mb+1)
+        return LR, occ
+
+    def round_core(t, A, B, rG, rH, jj):
+        scal2 = _ipa_round_scalars_traced(A, B, rG, rH, jj, lg_n, fr)
+        LR, occ = msm_round(scal2)
+        pb = serialize_points(LR, ctx)                      # (2, PB)
         t.commit_point_bytes(b"L", pb[0])
         t.commit_point_bytes(b"R", pb[1])
         u_m = t.challenge_scalar_mont(b"u", ctx)
         u_inv_m = fj.inv_mont(u_m, fr)
-        A, B, rG, rH = _ipa_round_update(A, B, rG, rH, u_m, u_inv_m,
-                                         n_j, fr)
-        lr_bytes.append(pb)
-        n_j //= 2
+        A, B, rG, rH = _ipa_round_update_traced(A, B, rG, rH, u_m,
+                                                u_inv_m, jj, lg_n, fr)
+        return A, B, rG, rH, pb, occ
+
+    # round 1 at the snapshot positions
+    t = DeviceTranscript.from_snapshot(state, pos, pos_begin, cur_flags)
+    A, B, rG, rH, pb0, occ_max = round_core(t, A, B, rG, rH, jnp.int32(0))
+    lr = jnp.zeros((lg_n, 2, PB), jnp.uint32).at[0].set(pb0)
+    st = t.strobe.st
+    inv_regs = (t.strobe.pos, t.strobe.pos_begin, t.strobe.cur_flags)
+
+    if lg_n > 1:
+        def body(jj, carry):
+            A, B, rG, rH, st, lr, occ_max = carry
+            tt = DeviceTranscript.from_snapshot(st, *inv_regs)
+            A, B, rG, rH, pb, occ = round_core(tt, A, B, rG, rH, jj)
+            # trace-time invariant: the STROBE registers after a round
+            # equal the registers before it, or the loop would be wrong
+            assert (tt.strobe.pos, tt.strobe.pos_begin,
+                    tt.strobe.cur_flags) == inv_regs, \
+                "per-round transcript schedule is not position-invariant"
+            lr = jax.lax.dynamic_update_slice(
+                lr, pb[None], (jj, jnp.int32(0), jnp.int32(0)))
+            return (A, B, rG, rH, tt.strobe.st, lr,
+                    jnp.maximum(occ_max, occ))
+
+        A, B, rG, rH, st, lr, occ_max = jax.lax.fori_loop(
+            1, lg_n, body, (A, B, rG, rH, st, lr, occ_max))
+
     a_p = _to_plain(A[:, :1], fr)
     b_p = _to_plain(B[:, :1], fr)
-    return (jnp.stack(lr_bytes), a_p, b_p, t.strobe.st, occ_max)
+    return (lr, a_p, b_p, st, occ_max)
 
 
 def create_ipp_implicit_fused(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
@@ -494,9 +605,12 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
 
     BP_IPA_FUSED=1 (default) runs ALL rounds + the Fiat-Shamir transcript
     in one dispatch (`create_ipp_implicit_fused`); =0 keeps the per-round
-    path (2 dispatches/round) for A/B.
+    path (2 dispatches/round) for A/B.  Edwards-serialized curves (ed25519)
+    stay on the per-round path: the device serializer emits Weierstrass
+    bytes, but their transcripts absorb AMCL Edwards coordinates.
     """
-    if os.environ.get("BP_IPA_FUSED", "1") != "0":
+    if os.environ.get("BP_IPA_FUSED", "1") != "0" \
+            and ctx.cv.ed_d is None:
         return create_ipp_implicit_fused(transcript, Gf_m, Hf_m, pts_dev,
                                          A, B, ctx, window=window,
                                          affine=affine)
