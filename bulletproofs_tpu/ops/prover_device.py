@@ -610,16 +610,48 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
     bytes, but their transcripts absorb AMCL Edwards coordinates.
     """
     if os.environ.get("BP_IPA_FUSED", "1") != "0" \
-            and ctx.cv.ed_d is None:
-        return create_ipp_implicit_fused(transcript, Gf_m, Hf_m, pts_dev,
+            and ctx.cv.ed_d is None \
+            and (A.shape[-1], ctx.cv.name) not in _fused_unavailable:
+        try:
+            return create_ipp_implicit_fused(transcript, Gf_m, Hf_m,
+                                             pts_dev, A, B, ctx,
+                                             window=window, affine=affine)
+        except Exception as e:           # pragma: no cover - hw-dependent
+            # the axon compile helper OOM-kills very large fused programs
+            # (NOTES.md round 4); nothing was absorbed into the host
+            # transcript yet except the domain separator, so fall back to
+            # the per-round path on a FRESH clone-equivalent state
+            if "remote_compile" not in repr(e) and \
+                    "RESOURCE_EXHAUSTED" not in repr(e):
+                raise
+            import sys
+            print(f"BP_IPA_FUSED: compile failed for n={A.shape[-1]} "
+                  f"({repr(e)[:120]}); falling back to per-round",
+                  file=sys.stderr, flush=True)
+            _fused_unavailable.add((A.shape[-1], ctx.cv.name))
+            return _create_ipp_per_round(transcript, Gf_m, Hf_m, pts_dev,
                                          A, B, ctx, window=window,
-                                         affine=affine)
+                                         affine=affine, domain_sep=False)
+    return _create_ipp_per_round(transcript, Gf_m, Hf_m, pts_dev, A, B,
+                                 ctx, window=window, affine=affine)
+
+
+_fused_unavailable = set()
+
+
+def _create_ipp_per_round(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
+                          window=None, affine=False, domain_sep=True):
+    """Per-round device IPA (2 dispatches/round; the BP_IPA_FUSED=0 path
+    and the fallback when the fused program cannot compile).  domain_sep=
+    False when the caller already absorbed the ipp domain separator (the
+    fused path applies it before snapshotting)."""
     fr = ctx.fr
     n = A.shape[-1]
     lg_n = n.bit_length() - 1
     assert (1 << lg_n) == n
 
-    transcript.innerproduct_domain_sep(n)
+    if domain_sep:
+        transcript.innerproduct_domain_sep(n)
 
     rG, rH = Gf_m, Hf_m
     L_vec, R_vec = [], []
