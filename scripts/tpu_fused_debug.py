@@ -112,6 +112,42 @@ def stage_strobe(ctx):
     return ok
 
 
+def stage_combine(ctx, n=4098):
+    """Two-set MSM with the pure-DEVICE combine (the fused path's tail:
+    bucket_rowcol + combine_from_rowcol) vs the host-combine hybrid path
+    (hardware-proven, round 3) at the config-2 IPA shape (c = 8, split +
+    dup windows active).  Isolates the device combine from the fused
+    loop/transcript."""
+    from bulletproofs_tpu.ops import msm as msm_mod
+    from bulletproofs_tpu.ops import field_jax as fj
+    rng = random.Random(7)
+    pts = [G1.random(rng) for _ in range(n)]
+    dev = ej.to_device_points(pts, ctx)
+    scal = [[Scalar.random(rng) for _ in range(n)] for _ in range(2)]
+    sc = jnp.stack([jnp.asarray(fj.ints_to_limbs([s.v for s in row],
+                                                 ctx.fr.L))
+                    for row in scal], axis=0)
+    c = msm_mod.pick_window(n)
+    rounds = msm_mod.occupancy_guess(n, ctx, c)
+    while True:
+        out, occ = msm_mod._msm_multi_device_jit(dev, sc, ctx, c, rounds)
+        out, occ = jax.device_get((out, occ))
+        if int(occ) <= rounds:
+            break
+        rounds = (int(occ) + 15) // 16 * 16
+    got = ej.from_device_points(jnp.asarray(out), ctx)
+    want = msm_mod.msm_hybrid(dev, sc, ctx, c=c)
+    ok = all(g.to_bytes() == w.to_bytes() for g, w in zip(got, want))
+    print(f"device combine n={n} c={c}: {'OK' if ok else 'MISMATCH'}",
+          flush=True)
+    if not ok:
+        for i, (g, w) in enumerate(zip(got, want)):
+            if g.to_bytes() != w.to_bytes():
+                print(f"  set {i}: got  {g.to_bytes().hex()[:48]}...")
+                print(f"         want {w.to_bytes().hex()[:48]}...")
+    return ok
+
+
 def stage_ipa16(n=16):
     from bulletproofs_tpu import ipp as ipp_mod, backend as backend_mod
     from bulletproofs_tpu.utils import get_generators
@@ -158,6 +194,8 @@ def main():
                 stage_strobe(ctx)
             elif s.startswith("ipa"):
                 stage_ipa16(int(s[3:] or 16))
+            elif s.startswith("combine"):
+                stage_combine(ctx, int(s[7:] or 4098))
 
 
 if __name__ == "__main__":
