@@ -148,6 +148,123 @@ def stage_combine(ctx, n=4098):
     return ok
 
 
+def stage_mixed(ctx, n=2048):
+    """Mixed-add vs general chunked bucket kernel at the fused round-0
+    shape: affine table [G | H | Q | identity], two scalar sets with the
+    identity lane pinned to zero, via the production msm_hybrid (host
+    combine).  Host native MSM is the reference."""
+    from bulletproofs_tpu.ops import msm as msm_mod
+    from bulletproofs_tpu.ops import field_jax as fj
+    from bulletproofs_tpu.ops.ec_host import msm_host
+    from bulletproofs_tpu.utils import get_generators
+    rng = random.Random(11)
+    G = get_generators("G", n)
+    H = get_generators("H", n)
+    Q = G1.from_msg_hash(b"Q")
+    table = G + H + [Q]
+    dev, aff = ej.to_device_points_affine(table, ctx)
+    dev = jnp.concatenate([dev, jnp.asarray(ctx.identity)], axis=2)
+    assert aff, "generator table should be affine"
+    m = 2 * n + 2
+    scal = [[Scalar.random(rng) for _ in range(m - 1)] + [Scalar(0)]
+            for _ in range(2)]
+    sc = jnp.stack([jnp.asarray(fj.ints_to_limbs([s.v for s in row],
+                                                 ctx.fr.L))
+                    for row in scal], axis=0)
+    want = [msm_host(table, row[:-1]) for row in scal]
+    c = msm_mod.pick_window(m)
+    for affine, label in ((True, "mixed"), (False, "general")):
+        got = msm_mod.msm_hybrid(dev, sc, ctx, c=c, affine=affine)
+        ok = all(g.to_bytes() == w.to_bytes() for g, w in zip(got, want))
+        print(f"msm_hybrid n={m} c={c} {label:8s}: "
+              f"{'OK' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            for i, (g, w) in enumerate(zip(got, want)):
+                if g.to_bytes() != w.to_bytes():
+                    print(f"  set {i}: got  {g.to_bytes().hex()[:48]}...")
+                    print(f"         want {w.to_bytes().hex()[:48]}...")
+
+
+def stage_round0(ctx, n=2048):
+    """Piecewise hardware replay of the fused IPA's ROUND 0 (the round the
+    n=2048 run corrupts): (a) traced-index scalar build vs the static
+    builder, (b) the two-set mixed-kernel MSM with the pure-device combine
+    on those exact scalars vs the host MSM, (c) device serialization of the
+    results vs host to_bytes."""
+    from bulletproofs_tpu.ops import prover_device as pd
+    from bulletproofs_tpu.ops import msm as msm_mod
+    from bulletproofs_tpu.ops import field_jax as fj
+    from bulletproofs_tpu.ops import transcript_device as td
+    from bulletproofs_tpu.ops.ec_host import msm_host
+    from bulletproofs_tpu.utils import get_generators
+    fr = ctx.fr
+    rng = random.Random(3)
+    G = get_generators("G", n)
+    H = get_generators("H", n)
+    Q = G1.from_msg_hash(b"Q")
+    one = Scalar.one()
+    a = [Scalar.random(rng) for _ in range(n)]
+    b = [Scalar.random(rng) for _ in range(n)]
+    table = G + H + [Q]
+    dev, aff = ej.to_device_points_affine(table, ctx)
+    pts = jnp.concatenate([dev, jnp.asarray(ctx.identity)], axis=2)
+    A = pd._mont(fr, a)
+    B = pd._mont(fr, b)
+    rG = pd._mont(fr, [one] * n)
+    rH = pd._mont(fr, [one] * n)
+    lg_n = n.bit_length() - 1
+
+    # (a) scalar build: traced vs static round index
+    sc_t = jax.jit(lambda A, B, rG, rH: pd._ipa_round_scalars_traced(
+        A, B, rG, rH, jnp.int32(0), lg_n, fr))(A, B, rG, rH)
+    sc_s = pd._ipa_round_scalars(A, B, rG, rH, n, fr)
+    sc_t_np, sc_s_np = jax.device_get((sc_t, sc_s))
+    ok_a = bool((sc_t_np == sc_s_np).all())
+    print(f"round0 scalars traced==static: {'OK' if ok_a else 'MISMATCH'}",
+          flush=True)
+
+    # host-int view of the scalars for the reference MSM
+    vals = [fj.limbs_to_ints(sc_s_np[s]) for s in range(2)]
+
+    # (b) MSM + device combine, exactly as _ipa_fused_jit.msm_round
+    c = msm_mod.pick_window(2 * n + 2)
+    W = -(-ctx.cv.fr.n_bits // c)
+    plan = msm_mod.window_plan(ctx, c, n_sets=2, dup=msm_mod._use_dup())
+    rounds = pd._fused_memo.get((n, c, ctx.cv.name),
+                                msm_mod.occupancy_guess(n + 1, ctx, c))
+
+    @jax.jit
+    def msm_round(scal2):
+        digits = msm_mod._digits_multi(scal2, ctx, c)
+        buckets, occ = msm_mod.bucket_accumulate(
+            pts, digits, ctx, c, rounds, plan=plan, affine=True)
+        rowsum, colsum = msm_mod.bucket_rowcol(buckets, ctx, c)
+        LR = msm_mod.combine_from_rowcol(rowsum, colsum, ctx, c,
+                                         wins_per_set=W)
+        return LR, occ
+
+    LR_dev, occ = msm_round(jnp.asarray(sc_s_np))
+    occ = int(jax.device_get(occ))
+    print(f"round0 occ={occ} rounds={rounds}", flush=True)
+    got = ej.from_device_points(LR_dev, ctx)
+    want = [msm_host(table + [G1.identity()],
+                     [Scalar(v) for v in vals[s]]) for s in range(2)]
+    ok_b = all(g.to_bytes() == w.to_bytes() for g, w in zip(got, want))
+    print(f"round0 MSM+device-combine: {'OK' if ok_b else 'MISMATCH'}",
+          flush=True)
+    if not ok_b:
+        for i, (g, w) in enumerate(zip(got, want)):
+            if g.to_bytes() != w.to_bytes():
+                print(f"  set {i}: got  {g.to_bytes().hex()[:48]}...")
+                print(f"         want {w.to_bytes().hex()[:48]}...")
+
+    # (c) device serialization of the device results
+    pb = np.asarray(jax.jit(lambda p: td.serialize_points(p, ctx))(LR_dev))
+    ok_c = all(bytes(pb[i].astype(np.uint8)) == g.to_bytes()
+               for i, g in enumerate(got))
+    print(f"round0 serialize: {'OK' if ok_c else 'MISMATCH'}", flush=True)
+
+
 def stage_ipa16(n=16):
     from bulletproofs_tpu import ipp as ipp_mod, backend as backend_mod
     from bulletproofs_tpu.utils import get_generators
@@ -196,6 +313,10 @@ def main():
                 stage_ipa16(int(s[3:] or 16))
             elif s.startswith("combine"):
                 stage_combine(ctx, int(s[7:] or 4098))
+            elif s.startswith("mixed"):
+                stage_mixed(ctx, int(s[5:] or 2048))
+            elif s.startswith("round0"):
+                stage_round0(ctx, int(s[6:] or 2048))
 
 
 if __name__ == "__main__":
