@@ -789,3 +789,79 @@ def msm(points, scalars, cv=None):
     c = pick_window(len(points))
     out = msm_device(P, s, ctx, c, affine=affine)
     return from_device_points(out, ctx)[0]
+
+
+# ---------------------------------------------------------------------------
+# Unrolled combine tail (fused-IPA workaround)
+#
+# HARDWARE ERRATUM (round 4, see NOTES.md): inside the one-dispatch fused
+# IPA program the fori_loop-based combine tail (`_axis_sum`,
+# `_running_weighted_sum`, the window Horner) returns corrupted points on
+# the real TPU, while the very same buckets verify bit-exact against host
+# EC ground truth and the very same combine code is bit-exact when jitted
+# standalone (scripts/hw_fused_probe.py staged verdicts: scal2 OK, digits
+# OK, slot grid OK, bucket sums OK, combine output WRONG; identical wrong
+# bytes under the pallas AND pure-XLA bucket kernels, so the corruption is
+# in the shared XLA tail, not a kernel).  The signature matches a loop-
+# carry/constant aliasing miscompile once the program contains many nested
+# fori_loops seeded from the same broadcast-identity constant.  These
+# python-unrolled variants keep the EXACT op order (results byte-identical)
+# but carry no fori state, which sidesteps the aliasing surface.  Only the
+# fused path uses them; the per-round/standalone paths keep the compact
+# fori forms (hardware-proven there, and kept off this file's earlier line
+# numbers so existing compile caches stay valid).
+# ---------------------------------------------------------------------------
+
+def _axis_sum_unrolled(arr, m, axis, ctx):
+    """`_axis_sum` with a static python loop (no fori carry)."""
+    acc = ctx.identity_like(arr.shape[2:axis] + arr.shape[axis + 1:])
+    for j in range(m):
+        acc = ec_add(acc, jax.lax.index_in_dim(arr, j, axis=axis,
+                                               keepdims=False), ctx)
+    return acc
+
+
+def _running_weighted_sum_unrolled(arr, m, ctx):
+    """`_running_weighted_sum` with static python loops."""
+    shape = arr.shape[2:-1]
+    running = ctx.identity_like(shape)
+    total = ctx.identity_like(shape)
+    for t in range(m - 1):
+        j = m - 1 - t
+        running = ec_add(running, jax.lax.index_in_dim(
+            arr, j, axis=arr.ndim - 1, keepdims=False), ctx)
+        total = ec_add(total, running, ctx)
+    return total
+
+
+def combine_from_rowcol_unrolled(rowsum, colsum, ctx, c, wins_per_set=None):
+    """`combine_from_rowcol` with every sequential chain python-unrolled.
+    Same algebra and op order as the fori forms -> byte-identical points."""
+    W = rowsum.shape[2]
+    if wins_per_set is None:
+        wins_per_set = W
+    n_sets = W // wins_per_set
+    G, K = rowsum.shape[3], colsum.shape[3]
+    wr = _running_weighted_sum_unrolled(rowsum, G, ctx)
+    wc = _running_weighted_sum_unrolled(colsum, K, ctx)
+    for _ in range(c - (c + 1) // 2):
+        wr = ec_double(wr, ctx)
+    totals = ec_add(wr, wc, ctx)                       # (3, L, W)
+    totals = totals.reshape(totals.shape[:2] + (n_sets, wins_per_set))
+    acc = ctx.identity_like((n_sets,))
+    for t in range(wins_per_set):
+        w = wins_per_set - 1 - t
+        for _ in range(c):
+            acc = ec_double(acc, ctx)
+        acc = ec_add(acc, totals[:, :, :, w], ctx)
+    return acc
+
+
+def bucket_rowcol_unrolled(buckets, ctx, c):
+    """`bucket_rowcol` with unrolled axis sums (fused-path combine head)."""
+    g_bits = (c + 1) // 2
+    G, K = 1 << g_bits, 1 << (c - g_bits)
+    bk = buckets.reshape(buckets.shape[:3] + (G, K))
+    rowsum = _axis_sum_unrolled(bk, K, 4, ctx)
+    colsum = _axis_sum_unrolled(bk, G, 3, ctx)
+    return rowsum, colsum

@@ -492,10 +492,14 @@ def _ipa_fused_jit(state, pts, A, B, rG, rH, ctx, c, n_rounds, affine,
         digits = msm_mod._digits_multi(scal2, ctx, c)
         buckets, occ = msm_mod.bucket_accumulate(
             pts, digits, ctx, c, n_rounds, plan=plan, affine=affine)
-        rowsum, colsum = msm_mod.bucket_rowcol(buckets, ctx, c)
-        LR = msm_mod.combine_from_rowcol(rowsum, colsum, ctx, c,
-                                         wins_per_set=W)   # (3, L, 2)
-        return LR, occ
+        # UNROLLED combine tail: the fori-loop combine returns corrupted
+        # points inside this composed program on real TPU hardware while
+        # the buckets themselves verify bit-exact (hardware erratum,
+        # NOTES.md round 4; staged proof in scripts/hw_fused_probe.py)
+        rowsum, colsum = msm_mod.bucket_rowcol_unrolled(buckets, ctx, c)
+        LR = msm_mod.combine_from_rowcol_unrolled(rowsum, colsum, ctx, c,
+                                                  wins_per_set=W)
+        return LR, occ                                      # (3, L, 2)
 
     def round_core(t, A, B, rG, rH, jj):
         scal2 = _ipa_round_scalars_traced(A, B, rG, rH, jj, lg_n, fr)
@@ -575,10 +579,16 @@ def create_ipp_implicit_fused(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
     # re-checks on-curve — a cheap integrity net over the fused kernel)
     L_vec, R_vec = [], []
     for j in range(lg_n):
-        L_vec.append(G1.from_bytes(
-            bytes(lr_np[j, 0].astype(np.uint8)), ctx.cv))
-        R_vec.append(G1.from_bytes(
-            bytes(lr_np[j, 1].astype(np.uint8)), ctx.cv))
+        for side, vec in ((0, L_vec), (1, R_vec)):
+            raw = bytes(lr_np[j, side].astype(np.uint8))
+            try:
+                vec.append(G1.from_bytes(raw, ctx.cv))
+            except AssertionError as e:
+                raise AssertionError(
+                    f"fused IPA: bad {'LR'[side]} bytes at round {j}/"
+                    f"{lg_n} (n={n}, c={c}, rounds={rounds}, occ={int(occ)}"
+                    f", affine={affine}): {raw[:24].hex()}...: {e}") \
+                    from None
 
     # transcript writeback: state bytes from the device, position registers
     # from a dummy replay of the (static) schedule
