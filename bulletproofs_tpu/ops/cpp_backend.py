@@ -354,6 +354,39 @@ def create_ipp_rounds(transcript, Q, G_factors, H_factors, G_vec, H_vec,
 
     transcript.innerproduct_domain_sep(n)
     L_vec, R_vec = [], []
+    if os.environ.get("BP_IPP_PAIRED", "1") == "0":
+        # Reference-shaped round loop (A/B + baseline knob): one L/R MSM
+        # then a FULL a/b/G/H fold per round, exactly the reference's
+        # schedule (`/root/reference/src/ipp.rs:66-136`) with none of the
+        # paired-round/deferred-fold algebra.  Proof bytes identical; used
+        # with BP_NATIVE_IFMA=0 BP_CPP_GLV=0 BP_NATIVE_POLYS=0 as bench.py's
+        # reference-class denominator (the AMCL-class arithmetic running
+        # the AMCL-era algorithm).
+        while n != 1:
+            lib.bp_ipp_round_lr(
+                _ptr(abi.params), _ptr(abi.rparams), _ptr(glv), _ptr(Gbuf),
+                _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                _ptr(gfac) if gf is not None else None,
+                _ptr(hfac) if hf is not None else None,
+                _ptr(Qbuf), ctypes.c_uint64(n), _ptr(outLR))
+            Lp, Rp = abi.buf_to_points(outLR, 2)
+            draw_u(Lp, Rp)
+            if n > 2:
+                lib.bp_ipp_round_fold(
+                    _ptr(abi.params), _ptr(abi.rparams), _ptr(glv),
+                    _ptr(Gbuf), _ptr(Hbuf), _ptr(abuf), _ptr(bbuf),
+                    _ptr(gfac) if gf is not None else None,
+                    _ptr(hfac) if hf is not None else None,
+                    _ptr(ubuf), _ptr(uibuf), ctypes.c_uint64(n))
+            else:
+                fold_ab(n)          # bases never needed again
+            gf = hf = None
+            n //= 2
+        a0 = int.from_bytes(np.ascontiguousarray(abuf[:Lr]).tobytes(),
+                            "little")
+        b0 = int.from_bytes(np.ascontiguousarray(bbuf[:Lr]).tobytes(),
+                            "little")
+        return L_vec, R_vec, Scalar(a0, cv), Scalar(b0, cv)
     while n != 1:
         if n >= 4:
             # ---- round A over materialized bases ----

@@ -28,21 +28,34 @@ from bulletproofs_tpu import ipp as ipp_mod
 
 
 def run(n):
-    ipp_mod.DEVICE_IPA_MIN_N = 1
-    backend_mod.set_backend("jax")
-    rng = random.Random(5)
-    G = get_generators("G", n)
-    H = get_generators("H", n)
-    Q = G1.from_msg_hash(b"Q")
-    a = [Scalar.random(rng) for _ in range(n)]
-    b = [Scalar.random(rng) for _ in range(n)]
-    Gf = [Scalar.random(rng) for _ in range(n)]
-    Hf = [Scalar.random(rng) for _ in range(n)]
-    os.environ["BP_IPA_FUSED"] = "1"
-    pf = ipp_mod.create_ipp(ProofTranscript(b"cpu"), Q, Gf, Hf, G, H, a, b)
-    os.environ["BP_IPA_FUSED"] = "0"
-    pp = ipp_mod.create_ipp(ProofTranscript(b"cpu"), Q, Gf, Hf, G, H, a, b)
-    os.environ.pop("BP_IPA_FUSED", None)
+    # save/restore: the repro may be imported or run inside a longer
+    # session (ADVICE r4) — don't leak the forced knobs
+    prev_fused = os.environ.get("BP_IPA_FUSED")
+    prev_min_n = ipp_mod.DEVICE_IPA_MIN_N
+    try:
+        ipp_mod.DEVICE_IPA_MIN_N = 1
+        backend_mod.set_backend("jax")
+        rng = random.Random(5)
+        G = get_generators("G", n)
+        H = get_generators("H", n)
+        Q = G1.from_msg_hash(b"Q")
+        a = [Scalar.random(rng) for _ in range(n)]
+        b = [Scalar.random(rng) for _ in range(n)]
+        Gf = [Scalar.random(rng) for _ in range(n)]
+        Hf = [Scalar.random(rng) for _ in range(n)]
+        os.environ["BP_IPA_FUSED"] = "1"
+        pf = ipp_mod.create_ipp(ProofTranscript(b"cpu"), Q, Gf, Hf,
+                                G, H, a, b)
+        os.environ["BP_IPA_FUSED"] = "0"
+        pp = ipp_mod.create_ipp(ProofTranscript(b"cpu"), Q, Gf, Hf,
+                                G, H, a, b)
+    finally:
+        if prev_fused is None:
+            os.environ.pop("BP_IPA_FUSED", None)
+        else:
+            os.environ["BP_IPA_FUSED"] = prev_fused
+        ipp_mod.DEVICE_IPA_MIN_N = prev_min_n
+        backend_mod.set_backend("auto")
     ok = ([p.to_bytes() for p in pf.L] == [p.to_bytes() for p in pp.L]
           and [p.to_bytes() for p in pf.R] == [p.to_bytes() for p in pp.R]
           and pf.a.v == pp.a.v and pf.b.v == pp.b.v)

@@ -155,12 +155,23 @@ def main():
         c = msm_mod.pick_window(2 * n + 2)
         rounds = msm_mod.occupancy_guess(n + 1, ctx, c)
 
-        out = _probe_jit(jnp.asarray(snap), pts, A, B, rG, rH, ctx, c,
-                         rounds, True, lg_n, pos, pb_, fl, with_loop)
-        (lr_np, occ, scal2_np, LR_np, pb0_np, u0_np, digits_np,
-         buckets_np, grid_np, found_np) = jax.device_get(out)
-        print(f"probe n={n} loop={with_loop} occ={int(occ)} "
-              f"rounds={rounds}", flush=True)
+        while True:
+            out = _probe_jit(jnp.asarray(snap), pts, A, B, rG, rH, ctx, c,
+                             rounds, True, lg_n, pos, pb_, fl, with_loop)
+            (lr_np, occ, scal2_np, LR_np, pb0_np, u0_np, digits_np,
+             buckets_np, grid_np, found_np) = jax.device_get(out)
+            print(f"probe n={n} loop={with_loop} occ={int(occ)} "
+                  f"rounds={rounds}", flush=True)
+            if int(occ) <= rounds:
+                break
+            # occupancy overflow: bucket points beyond `rounds` were
+            # silently dropped — every downstream MISMATCH would be a
+            # SOFTWARE overflow, not the hardware erratum.  Re-dispatch
+            # with the rounded-up count, as the production path does
+            # (ADVICE r4).
+            print(f"  WARNING: occupancy {int(occ)} > rounds {rounds}; "
+                  f"re-running with rounds rounded up", flush=True)
+            rounds = (int(occ) + 15) // 16 * 16
 
         # ---- ground truth (python ints) ----
         half = n // 2

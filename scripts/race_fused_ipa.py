@@ -54,6 +54,7 @@ def run_ipa(n, reps=3):
     Gf = [one] * n
     Hf = [one] * n
 
+    proofs = {}
     for mode in ("1", "0"):
         os.environ["BP_IPA_FUSED"] = mode
         label = "fused" if mode == "1" else "per-round"
@@ -65,8 +66,16 @@ def run_ipa(n, reps=3):
         p50 = _p50(lambda: ipp_mod.create_ipp(
             ProofTranscript(b"race"), Q, Gf, Hf, G, H, a, b), reps)
         print(f"ipa n={n} {label:9s} warm p50: {p50:.3f}s", flush=True)
-        first_mode = proof
+        proofs[label] = proof
     os.environ.pop("BP_IPA_FUSED", None)
+    pf, pp = proofs["fused"], proofs["per-round"]
+    ok = ([p.to_bytes() for p in pf.L] == [p.to_bytes() for p in pp.L]
+          and [p.to_bytes() for p in pf.R] == [p.to_bytes() for p in pp.R]
+          and pf.a.v == pp.a.v and pf.b.v == pp.b.v)
+    print(f"ipa n={n} fused vs per-round bytes: "
+          f"{'IDENTICAL' if ok else 'MISMATCH'}", flush=True)
+    if not ok:
+        raise SystemExit(1)
 
 
 def run_prove2():
