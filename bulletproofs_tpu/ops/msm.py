@@ -792,7 +792,7 @@ def msm(points, scalars, cv=None):
 
 
 # ---------------------------------------------------------------------------
-# Unrolled combine tail (fused-IPA workaround)
+# Barrier-seeded combine tail (fused-IPA workaround)
 #
 # HARDWARE ERRATUM (round 4, see NOTES.md): inside the one-dispatch fused
 # IPA program the fori_loop-based combine tail (`_axis_sum`,
@@ -804,64 +804,89 @@ def msm(points, scalars, cv=None):
 # bytes under the pallas AND pure-XLA bucket kernels, so the corruption is
 # in the shared XLA tail, not a kernel).  The signature matches a loop-
 # carry/constant aliasing miscompile once the program contains many nested
-# fori_loops seeded from the same broadcast-identity constant.  These
-# python-unrolled variants keep the EXACT op order (results byte-identical)
-# but carry no fori state, which sidesteps the aliasing surface.  Only the
-# fused path uses them; the per-round/standalone paths keep the compact
-# fori forms (hardware-proven there, and kept off this file's earlier line
-# numbers so existing compile caches stay valid).
+# fori_loops seeded from the same broadcast-identity constant.
+#
+# Round 4 tried PYTHON-UNROLLING the whole tail (no fori carries at all):
+# byte-identical on CPU, but the ~400 EC add/double bodies instantiated
+# TWICE (round 0 + the round loop) made the fused n=2048 program
+# uncompilable through the axon tunnel (>30 min, round-5 race timeout).
+# These variants instead keep the compact fori forms and break only the
+# suspected aliasing surface: every loop seed goes through
+# `lax.optimization_barrier`, so the carry's initial buffer is a fresh op
+# result rather than a shared broadcast-identity constant that XLA may
+# alias across the program's many loop instances.  Op order and algebra
+# are identical -> byte-identical results.  Only the fused path uses
+# them; the per-round/standalone paths keep the plain fori forms
+# (hardware-proven there).
 # ---------------------------------------------------------------------------
 
-def _axis_sum_unrolled(arr, m, axis, ctx):
-    """`_axis_sum` with a static python loop (no fori carry)."""
-    acc = ctx.identity_like(arr.shape[2:axis] + arr.shape[axis + 1:])
-    for j in range(m):
-        acc = ec_add(acc, jax.lax.index_in_dim(arr, j, axis=axis,
-                                               keepdims=False), ctx)
-    return acc
+def _ident_seed(ctx, shape):
+    """Identity accumulator seed with a barrier: not constant-foldable,
+    not aliasable with other instances of the same broadcast constant."""
+    return jax.lax.optimization_barrier(ctx.identity_like(shape))
 
 
-def _running_weighted_sum_unrolled(arr, m, ctx):
-    """`_running_weighted_sum` with static python loops."""
+def _axis_sum_fused(arr, m, axis, ctx):
+    """`_axis_sum` with a barrier-seeded carry."""
+    acc = _ident_seed(ctx, arr.shape[2:axis] + arr.shape[axis + 1:])
+
+    def body(j, acc):
+        return ec_add(acc, jax.lax.dynamic_index_in_dim(
+            arr, j, axis=axis, keepdims=False), ctx)
+
+    return jax.lax.fori_loop(0, m, body, acc)
+
+
+def _running_weighted_sum_fused(arr, m, ctx):
+    """`_running_weighted_sum` with barrier-seeded carries."""
     shape = arr.shape[2:-1]
-    running = ctx.identity_like(shape)
-    total = ctx.identity_like(shape)
-    for t in range(m - 1):
+    running = _ident_seed(ctx, shape)
+    total = _ident_seed(ctx, shape)
+
+    def body(t, carry):
+        running, total = carry
         j = m - 1 - t
-        running = ec_add(running, jax.lax.index_in_dim(
-            arr, j, axis=arr.ndim - 1, keepdims=False), ctx)
+        running = ec_add(
+            running, jax.lax.dynamic_index_in_dim(arr, j, axis=arr.ndim - 1,
+                                                  keepdims=False), ctx)
         total = ec_add(total, running, ctx)
+        return running, total
+
+    _, total = jax.lax.fori_loop(0, m - 1, body, (running, total))
     return total
 
 
-def combine_from_rowcol_unrolled(rowsum, colsum, ctx, c, wins_per_set=None):
-    """`combine_from_rowcol` with every sequential chain python-unrolled.
-    Same algebra and op order as the fori forms -> byte-identical points."""
+def combine_from_rowcol_fused(rowsum, colsum, ctx, c, wins_per_set=None):
+    """`combine_from_rowcol` with barrier-seeded loop carries.  Same
+    algebra and op order -> byte-identical points."""
     W = rowsum.shape[2]
     if wins_per_set is None:
         wins_per_set = W
     n_sets = W // wins_per_set
     G, K = rowsum.shape[3], colsum.shape[3]
-    wr = _running_weighted_sum_unrolled(rowsum, G, ctx)
-    wc = _running_weighted_sum_unrolled(colsum, K, ctx)
+    wr = _running_weighted_sum_fused(rowsum, G, ctx)
+    wc = _running_weighted_sum_fused(colsum, K, ctx)
     for _ in range(c - (c + 1) // 2):
         wr = ec_double(wr, ctx)
     totals = ec_add(wr, wc, ctx)                       # (3, L, W)
     totals = totals.reshape(totals.shape[:2] + (n_sets, wins_per_set))
-    acc = ctx.identity_like((n_sets,))
-    for t in range(wins_per_set):
+
+    def body(t, acc):
         w = wins_per_set - 1 - t
-        for _ in range(c):
-            acc = ec_double(acc, ctx)
-        acc = ec_add(acc, totals[:, :, :, w], ctx)
-    return acc
+        acc = jax.lax.fori_loop(
+            0, c, lambda _, a: ec_double(a, ctx), acc)
+        return ec_add(acc, jax.lax.dynamic_index_in_dim(
+            totals, w, axis=3, keepdims=False), ctx)
+
+    return jax.lax.fori_loop(0, wins_per_set, body,
+                             _ident_seed(ctx, (n_sets,)))
 
 
-def bucket_rowcol_unrolled(buckets, ctx, c):
-    """`bucket_rowcol` with unrolled axis sums (fused-path combine head)."""
+def bucket_rowcol_fused(buckets, ctx, c):
+    """`bucket_rowcol` with barrier-seeded axis sums (fused combine head)."""
     g_bits = (c + 1) // 2
     G, K = 1 << g_bits, 1 << (c - g_bits)
     bk = buckets.reshape(buckets.shape[:3] + (G, K))
-    rowsum = _axis_sum_unrolled(bk, K, 4, ctx)
-    colsum = _axis_sum_unrolled(bk, G, 3, ctx)
+    rowsum = _axis_sum_fused(bk, K, 4, ctx)
+    colsum = _axis_sum_fused(bk, G, 3, ctx)
     return rowsum, colsum

@@ -492,13 +492,17 @@ def _ipa_fused_jit(state, pts, A, B, rG, rH, ctx, c, n_rounds, affine,
         digits = msm_mod._digits_multi(scal2, ctx, c)
         buckets, occ = msm_mod.bucket_accumulate(
             pts, digits, ctx, c, n_rounds, plan=plan, affine=affine)
-        # UNROLLED combine tail: the fori-loop combine returns corrupted
-        # points inside this composed program on real TPU hardware while
-        # the buckets themselves verify bit-exact (hardware erratum,
-        # NOTES.md round 4; staged proof in scripts/hw_fused_probe.py)
-        rowsum, colsum = msm_mod.bucket_rowcol_unrolled(buckets, ctx, c)
-        LR = msm_mod.combine_from_rowcol_unrolled(rowsum, colsum, ctx, c,
-                                                  wins_per_set=W)
+        # BARRIER-SEEDED combine tail: the plain fori-loop combine returns
+        # corrupted points inside this composed program on real TPU
+        # hardware while the buckets themselves verify bit-exact (hardware
+        # erratum, NOTES.md round 4; staged proof in
+        # scripts/hw_fused_probe.py).  The round-4 python-unrolled
+        # workaround was byte-correct but uncompilable through the tunnel
+        # (>30 min); the _fused variants keep the fori forms and barrier
+        # every loop seed instead (msm.py, "Barrier-seeded combine tail").
+        rowsum, colsum = msm_mod.bucket_rowcol_fused(buckets, ctx, c)
+        LR = msm_mod.combine_from_rowcol_fused(rowsum, colsum, ctx, c,
+                                               wins_per_set=W)
         return LR, occ                                      # (3, L, 2)
 
     def round_core(t, A, B, rG, rH, jj):
@@ -628,11 +632,15 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
                                              window=window, affine=affine)
         except Exception as e:           # pragma: no cover - hw-dependent
             # the axon compile helper OOM-kills very large fused programs
-            # (NOTES.md round 4); nothing was absorbed into the host
-            # transcript yet except the domain separator, so fall back to
-            # the per-round path on a FRESH clone-equivalent state
+            # (NOTES.md round 4), and the round-4 hardware erratum can
+            # surface as off-curve L/R bytes ("fused IPA: bad ..." — the
+            # from_bytes integrity net).  In both cases nothing was
+            # absorbed into the host transcript yet except the domain
+            # separator, so fall back to the per-round path (hardware-
+            # proven) on a FRESH clone-equivalent state.
             if "remote_compile" not in repr(e) and \
-                    "RESOURCE_EXHAUSTED" not in repr(e):
+                    "RESOURCE_EXHAUSTED" not in repr(e) and \
+                    "fused IPA: bad" not in repr(e):
                 raise
             import sys
             print(f"BP_IPA_FUSED: compile failed for n={A.shape[-1]} "
