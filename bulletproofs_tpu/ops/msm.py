@@ -827,38 +827,48 @@ def _ident_seed(ctx, shape):
 
 
 def _axis_sum_fused(arr, m, axis, ctx):
-    """`_axis_sum` with a barrier-seeded carry."""
+    """`_axis_sum` with a barrier-seeded carry and the indexed array
+    THREADED THROUGH the loop carry: a dynamic-slice of a loop-INVARIANT
+    operand inside the fused program's nested loops is the suspected
+    miscompile surface (round-5 hw verdict: barrier seeds alone did not
+    fix it), so the operand rides the loop state instead of being hoisted
+    as an invariant capture."""
     acc = _ident_seed(ctx, arr.shape[2:axis] + arr.shape[axis + 1:])
 
-    def body(j, acc):
-        return ec_add(acc, jax.lax.dynamic_index_in_dim(
+    def body(j, carry):
+        arr, acc = carry
+        return arr, ec_add(acc, jax.lax.dynamic_index_in_dim(
             arr, j, axis=axis, keepdims=False), ctx)
 
-    return jax.lax.fori_loop(0, m, body, acc)
+    _, acc = jax.lax.fori_loop(0, m, body, (arr, acc))
+    return acc
 
 
 def _running_weighted_sum_fused(arr, m, ctx):
-    """`_running_weighted_sum` with barrier-seeded carries."""
+    """`_running_weighted_sum` with barrier-seeded carries and the indexed
+    array threaded through the loop carry (see `_axis_sum_fused`)."""
     shape = arr.shape[2:-1]
     running = _ident_seed(ctx, shape)
     total = _ident_seed(ctx, shape)
 
     def body(t, carry):
-        running, total = carry
+        arr, running, total = carry
         j = m - 1 - t
         running = ec_add(
             running, jax.lax.dynamic_index_in_dim(arr, j, axis=arr.ndim - 1,
                                                   keepdims=False), ctx)
         total = ec_add(total, running, ctx)
-        return running, total
+        return arr, running, total
 
-    _, total = jax.lax.fori_loop(0, m - 1, body, (running, total))
+    _, _, total = jax.lax.fori_loop(0, m - 1, body, (arr, running, total))
     return total
 
 
 def combine_from_rowcol_fused(rowsum, colsum, ctx, c, wins_per_set=None):
-    """`combine_from_rowcol` with barrier-seeded loop carries.  Same
-    algebra and op order -> byte-identical points."""
+    """`combine_from_rowcol` with barrier'd stage boundaries, barrier-seeded
+    loop carries, and loop-carried operands.  Same algebra and op order ->
+    byte-identical points."""
+    rowsum, colsum = jax.lax.optimization_barrier((rowsum, colsum))
     W = rowsum.shape[2]
     if wins_per_set is None:
         wins_per_set = W
@@ -870,20 +880,25 @@ def combine_from_rowcol_fused(rowsum, colsum, ctx, c, wins_per_set=None):
         wr = ec_double(wr, ctx)
     totals = ec_add(wr, wc, ctx)                       # (3, L, W)
     totals = totals.reshape(totals.shape[:2] + (n_sets, wins_per_set))
+    totals = jax.lax.optimization_barrier(totals)
 
-    def body(t, acc):
+    def body(t, carry):
+        totals, acc = carry
         w = wins_per_set - 1 - t
         acc = jax.lax.fori_loop(
             0, c, lambda _, a: ec_double(a, ctx), acc)
-        return ec_add(acc, jax.lax.dynamic_index_in_dim(
+        return totals, ec_add(acc, jax.lax.dynamic_index_in_dim(
             totals, w, axis=3, keepdims=False), ctx)
 
-    return jax.lax.fori_loop(0, wins_per_set, body,
-                             _ident_seed(ctx, (n_sets,)))
+    _, out = jax.lax.fori_loop(0, wins_per_set, body,
+                               (totals, _ident_seed(ctx, (n_sets,))))
+    return out
 
 
 def bucket_rowcol_fused(buckets, ctx, c):
-    """`bucket_rowcol` with barrier-seeded axis sums (fused combine head)."""
+    """`bucket_rowcol` with a barrier'd input and carried-operand axis sums
+    (fused combine head)."""
+    buckets = jax.lax.optimization_barrier(buckets)
     g_bits = (c + 1) // 2
     G, K = 1 << g_bits, 1 << (c - g_bits)
     bk = buckets.reshape(buckets.shape[:3] + (G, K))
