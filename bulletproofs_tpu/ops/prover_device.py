@@ -650,13 +650,27 @@ def create_ipp_implicit(transcript, Gf_m, Hf_m, pts_dev, A, B, ctx,
     fold-in, `ipp.rs:68-136`, becomes the s-vector initialization here).
     A, B: (Lr, n) Montgomery a/b vectors.  Returns (L_vec, R_vec, a, b).
 
-    BP_IPA_FUSED=1 (default) runs ALL rounds + the Fiat-Shamir transcript
-    in one dispatch (`create_ipp_implicit_fused`); =0 keeps the per-round
-    path (2 dispatches/round) for A/B.  Edwards-serialized curves (ed25519)
-    stay on the per-round path: the device serializer emits Weierstrass
-    bytes, but their transcripts absorb AMCL Edwards coordinates.
+    BP_IPA_FUSED runs ALL rounds + the Fiat-Shamir transcript in one
+    dispatch (`create_ipp_implicit_fused`); =0 keeps the per-round path.
+    Default "auto": fused on CPU/virtual-mesh backends (bit-exact,
+    tests/test_ipa_fused.py), per-round on real TPU hardware — the fused
+    program is corrupted by a TPU backend erratum the round-4/5 staged
+    probes could not work around (NOTES.md round-5 ledger: three
+    structurally different combine tails return byte-identical garbage
+    while the same program is byte-exact on XLA-CPU at the same size).
+    =1 forces the fused attempt everywhere; the from_bytes integrity net
+    + per-round fallback keep even a corrupted dispatch correct.
+    Edwards-serialized curves (ed25519) always take the per-round path:
+    the device serializer emits Weierstrass bytes, but their transcripts
+    absorb AMCL Edwards coordinates.
     """
-    if os.environ.get("BP_IPA_FUSED", "1") != "0" \
+    fused_env = os.environ.get("BP_IPA_FUSED", "auto")
+    if fused_env in ("auto", ""):
+        import jax
+        want_fused = jax.default_backend() == "cpu"
+    else:
+        want_fused = fused_env != "0"
+    if want_fused \
             and ctx.cv.ed_d is None \
             and (A.shape[-1], ctx.cv.name) not in _fused_unavailable:
         try:
