@@ -63,11 +63,20 @@ def _load_validated(path, prefix, cv):
             return []
         pts.append(p)
     n = len(pts)
-    # fixed anchors + RANDOM indices per load: a tamperer (or a stale
-    # cache) cannot predict which entries are re-derived
-    import random as _random
-    idxs = {0, n - 1}
-    idxs.update(_random.randrange(n) for _ in range(_SPOT_CHECKS))
+    # Small caches are FULLY re-derived (a few ms — and the check becomes
+    # deterministic).  Large caches check fixed anchors + random indices
+    # drawn from SystemRandom: os.urandom-backed,
+    # so a tamperer cannot predict which entries are re-derived AND a
+    # caller seeding the global `random` module cannot steer the draws
+    # (the global-rng version made tamper detection a coin flip — caught
+    # by tests/test_security_hardening.py flaking in round 5).
+    if n <= 32:
+        idxs = range(n)
+    else:
+        import random as _random
+        sysrand = _random.SystemRandom()
+        idxs = {0, n - 1}
+        idxs.update(sysrand.randrange(n) for _ in range(_SPOT_CHECKS))
     for i in idxs:
         if pts[i] != _derive(prefix, i, cv):
             return []
