@@ -60,11 +60,13 @@ def _mont_mul_chain(a, iters, fctx):
 
 
 def _time(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)          # compile + warm
+    # device_get, NOT block_until_ready: on the round-5 axon runtime
+    # block_until_ready returned without waiting for the remote execution
+    # (roofline measured 90x the speed-of-light model — pure enqueue
+    # time).  Fetching the bytes is an unfakeable sync.
+    jax.device_get(fn(*args))           # compile + warm
     t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(fn(*args))
     return time.time() - t0
 
 
