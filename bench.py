@@ -55,8 +55,8 @@ SEED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # first, then the two VERDICT "Done =" prove paths, then the small extras.
 DEVICE_SECTIONS = [
     ("msm_device", 900, 150),
-    ("config2_device", 720, 120),
     ("config3", 1100, 150),
+    ("config2_device", 720, 120),
     ("poseidon_bulk", 240, 60),
     ("smt4_updates", 300, 60),
     ("roofline", 300, 60),
@@ -747,7 +747,7 @@ def main():
         device_section(args.section, out, shared)
         return 0
 
-    st = BenchState(float(os.environ.get("BP_BENCH_BUDGET", "1500")))
+    st = BenchState(float(os.environ.get("BP_BENCH_BUDGET", "1740")))
     seed_compile_cache(st.mark)
     st.mark("probing axon tunnel")
     tpu_ok, dev_name = _tpu_available()
